@@ -1,0 +1,493 @@
+"""Multi-camera ISP pipeline: packed RAW -> demosaic+WB/CCM -> resize ->
+EMA exposure metering -> Reinhard/linear tonemap -> output transform.
+
+Reference: ``taichi_image/camera_isp.py`` (423 LoC). The reference drives
+~4+2N separate Taichi kernel launches per multi-camera frame step with
+host-side control (SURVEY.md §3.2); here the WHOLE step is one jitted,
+donated function over a uniform camera batch:
+
+    step(metrics, raws) -> (new_metrics, u8 outputs)
+
+so XLA fuses decode -> demosaic -> resize -> metering -> tonemap into a
+few passes, and the EMA vec9 metering state is explicit functional state
+(the only cross-frame state, reference camera_isp.py:267,376-385).
+
+vec9 metering layout (reference camera_isp.py:102-115):
+    [bounds.min, bounds.max, log_bounds.min, log_bounds.max,
+     log_mean, mean, rgb_mean(3)]
+
+Multi-camera scaling: cameras shard across TPU chips on a mesh axis; the
+metering reduction becomes psum/pmin/pmax collectives over that axis (see
+taichi_image_tpu/parallel/). This replaces the reference's single-GPU
+multi-launch batching (camera_isp.py:399-401).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from taichi_image_tpu import types
+from taichi_image_tpu.ops import bayer as bayer_ops
+from taichi_image_tpu.ops import interpolate, packed
+from taichi_image_tpu.ops.color import rgb_gray
+from taichi_image_tpu.ops.interpolate import ImageTransform, _axis_samples
+from taichi_image_tpu.utils.bounds import lerp
+
+__all__ = ["camera_isp", "Camera16", "Camera32", "CameraBF16",
+           "moving_average", "default_cc"]
+
+
+def moving_average(old, new, alpha):
+  """Host EMA helper (reference camera_isp.py:15-19)."""
+  if old is None:
+    return new
+  return (1 - alpha) * old + alpha * new
+
+
+# Default 3x3 color-correction matrix (reference camera_isp.py:230-234).
+default_cc = np.array([
+    [1.75, -0.25, -0.30],
+    [-0.10, 1.40, -0.30],
+    [-0.05, -0.55, 2.10],
+])
+
+_DEFAULT_WB = np.array([1.8, 1.0, 2.1])
+
+
+# --------------------------------------------------------------------------
+# Functional core — pure, jittable, collective-aware.
+# --------------------------------------------------------------------------
+
+def metering_update(images, prev, t, axis_name=None, n_total=None):
+  """One EMA metering update from a batch of strided RGB crops.
+
+  Mirrors the reference two-pass reduction + double EMA blend exactly
+  (camera_isp.py:142-166): global bounds -> blend with prev -> normalized
+  stats over the blended bounds -> blend the whole vec9 with prev.
+
+  ``axis_name``: if set, the batch axis is sharded over that mesh axis and
+  the reductions complete with pmin/pmax/psum collectives over ICI.
+  """
+  x = images.astype(jnp.float32)
+  bmin, bmax = jnp.min(x), jnp.max(x)
+  if axis_name is not None:
+    bmin = jax.lax.pmin(bmin, axis_name)
+    bmax = jax.lax.pmax(bmax, axis_name)
+  b = lerp(t, jnp.stack([bmin, bmax]), prev[:2])
+
+  scaled = (x - b[0]) / (b[1] - b[0] + 1e-6)
+  gray = rgb_gray(scaled)
+  log_gray = jnp.log(jnp.maximum(gray, 1e-4))
+
+  log_min, log_max = jnp.min(log_gray), jnp.max(log_gray)
+  sums = jnp.stack([jnp.sum(log_gray), jnp.sum(gray),
+                    *[jnp.sum(scaled[..., c]) for c in range(3)]])
+  if axis_name is not None:
+    log_min = jax.lax.pmin(log_min, axis_name)
+    log_max = jax.lax.pmax(log_max, axis_name)
+    sums = jax.lax.psum(sums, axis_name)
+  if n_total is None:
+    n_total = images.shape[0] * images.shape[1] * images.shape[2]
+
+  stats = jnp.concatenate([b, jnp.stack([log_min, log_max]),
+                           sums / n_total])
+  return lerp(t, stats, prev)
+
+
+def reinhard_apply(image, metrics, gamma, intensity, light_adapt,
+                   color_adapt, work_dtype):
+  """ISP-variant Reinhard (reference camera_isp.py:177-218): normalize by
+  the EMA image bounds, Reinhard map, then gamma normalized by the frame's
+  own max, to u8. ``image`` may have leading batch dims."""
+  m = metrics
+  log_min, log_max, log_mean = m[2], m[3], m[4]
+  key = (log_max - log_mean) / (log_max - log_min)
+  map_key = 0.3 + 0.7 * jnp.power(key, 1.4)
+  mean = lerp(color_adapt, m[5], m[6:9])
+
+  x = image.astype(jnp.float32)
+  scaled = (x - m[0]) / (m[1] - m[0])
+  gray = rgb_gray(scaled)[..., None]
+  adapt_color = lerp(color_adapt, gray, scaled)
+  adapt_mean = lerp(light_adapt, mean, adapt_color)
+  adapt = jnp.power(jnp.exp(-intensity) * adapt_mean, map_key)
+  p = scaled * (1.0 / (adapt + scaled))
+
+  # the reference stores p in the working dtype, then reduces max over the
+  # pre-cast f32 values and reads back the cast image (camera_isp.py:211-218)
+  p_cast = p.astype(types.canonical_dtype(work_dtype))
+  axes = tuple(range(p.ndim - 3, p.ndim))  # per-image max over (h, w, c)
+  max_out = jnp.maximum(1e-6, jnp.max(p, axis=axes, keepdims=True))
+  out = jnp.power(p_cast.astype(jnp.float32) / max_out, 1.0 / gamma)
+  return jnp.clip(255.0 * out, 0, 255).astype(jnp.uint8)
+
+
+def linear_apply(image, metrics, gamma):
+  """ISP-variant linear tonemap (reference camera_isp.py:220-227)."""
+  x = image.astype(jnp.float32)
+  inv_range = 1.0 / (metrics[1] - metrics[0])
+  y = jnp.power(jnp.clip((x - metrics[0]) * inv_range, 0.0, None), 1.0 / gamma)
+  return jnp.clip(jnp.clip(y, 0.0, 1.0) * 255.0, 0, 255).astype(jnp.uint8)
+
+
+def _resize_batch(images, size, scale, work_dtype):
+  """Batched bilinear resize (N, H, W, 3) -> (N, h_out, w_out, 3) with the
+  reference's truncation-anchored sampling (interpolate.py:59-66)."""
+  n, h_in, w_in = images.shape[:3]
+  w_out, h_out = size
+  r_lo, r_hi, r_f = _axis_samples(h_out, h_in, scale)
+  c_lo, c_hi, c_f = _axis_samples(w_out, w_in, scale)
+  x = images.astype(jnp.float32)
+  top = jnp.take(x, jnp.asarray(r_lo), axis=1)
+  bot = jnp.take(x, jnp.asarray(r_hi), axis=1)
+  rows = top + jnp.asarray(r_f)[None, :, None, None] * (bot - top)
+  left = jnp.take(rows, jnp.asarray(c_lo), axis=2)
+  right = jnp.take(rows, jnp.asarray(c_hi), axis=2)
+  out = left + jnp.asarray(c_f)[None, None, :, None] * (right - left)
+  return out.astype(types.canonical_dtype(work_dtype))
+
+
+def _transform_batch(images, t: ImageTransform):
+  """Apply an ImageTransform over the batch axis."""
+  if t == ImageTransform.none:
+    return images
+  x = images
+  if t == ImageTransform.rotate_90:
+    return jnp.rot90(x, k=-1, axes=(1, 2))
+  if t == ImageTransform.rotate_180:
+    return jnp.rot90(x, k=2, axes=(1, 2))
+  if t == ImageTransform.rotate_270:
+    return jnp.rot90(x, k=1, axes=(1, 2))
+  if t == ImageTransform.transpose:
+    return jnp.swapaxes(x, 1, 2)
+  if t == ImageTransform.flip_horiz:
+    return jnp.flip(x, axis=2)
+  if t == ImageTransform.flip_vert:
+    return jnp.flip(x, axis=1)
+  if t == ImageTransform.transverse:
+    return jnp.flip(jnp.swapaxes(x, 1, 2), axis=(1, 2))
+  raise ValueError(f"unknown transform {t}")
+
+
+def load_raw(raws, fmt: str, work_dtype, ids_format: bool = False):
+  """Decode a batch of raw planes to normalized working-dtype CFA.
+
+  ``fmt``: one of 'packed12' (reference camera_isp.py:333-340),
+  'packed16' (camera_isp.py:342-347), 'u16' (load_16u, camera_isp.py:82-87),
+  'f32' (load_32f), 'f16' (load_16f — the reference numerically casts the
+  u16 input with NO scaling, camera_isp.py:95-99; replicated).
+  """
+  wd = types.canonical_dtype(work_dtype)
+  if fmt == "packed12":
+    h, wbytes = raws.shape[-2], raws.shape[-1]
+    w = wbytes * 2 // 3
+    flat = packed.decode12(raws.reshape(raws.shape[0], -1), dtype=wd,
+                           scaled=True, ids_format=ids_format)
+    return flat.reshape(raws.shape[0], h, w)
+  if fmt == "packed16":
+    h, wbytes = raws.shape[-2], raws.shape[-1]
+    w = wbytes // 2
+    flat = packed.decode16(raws.reshape(raws.shape[0], -1), dtype=wd,
+                           scaled=True)
+    return flat.reshape(raws.shape[0], h, w)
+  if fmt == "u16":
+    return (raws.astype(jnp.float32) / 65535.0).astype(wd)
+  if fmt == "f32":
+    return raws.astype(wd)
+  if fmt == "f16":
+    return raws.astype(wd)
+  raise ValueError(f"unknown raw format {fmt}")
+
+
+# --------------------------------------------------------------------------
+# ISP driver class.
+# --------------------------------------------------------------------------
+
+class _ISPBase:
+  """Per-rig ISP state + per-frame driver (reference camera_isp.py:237-413).
+
+  All heavy work happens in jitted fused steps; this object only holds
+  configuration and the vec9 EMA metering state.
+  """
+
+  _work_dtype: np.dtype = None  # set by camera_isp()
+
+  def __init__(self,
+               bayer_pattern: bayer_ops.BayerPattern,
+               scale: Optional[float] = None,
+               resize_width: int = 0,
+               moving_alpha: float = 0.1,
+               correct_colors: bool = False,
+               white_balance: np.ndarray = _DEFAULT_WB,
+               color_correction: np.ndarray = default_cc,
+               transform: ImageTransform = ImageTransform.none,
+               device=None,
+               metering_stride: int = 8):
+    assert scale is None or resize_width == 0, (
+        "Cannot specify both scale and resize_width")
+    self.bayer_pattern = bayer_pattern
+    self.moving_alpha = moving_alpha
+    self.scale = scale
+    self.resize_width = resize_width
+    self.transform = transform
+    self.metering_stride = metering_stride
+    self.correct_colors = correct_colors
+    self.white_balance = np.asarray(white_balance, np.float64)
+    self.color_correction = np.asarray(color_correction, np.float64)
+    self.metrics = None
+    self.device = device  # accepted for API parity; placement is via jax
+
+  def set(self, moving_alpha: Optional[float] = None,
+          resize_width: Optional[int] = None,
+          scale: Optional[float] = None,
+          correct_colors: Optional[bool] = None,
+          white_balance: Optional[np.ndarray] = None,
+          color_correction: Optional[np.ndarray] = None,
+          transform: Optional[ImageTransform] = None):
+    """Runtime reconfiguration (reference camera_isp.py:270-300)."""
+    if moving_alpha is not None:
+      self.moving_alpha = moving_alpha
+    if resize_width is not None:
+      self.resize_width = resize_width
+      self.scale = None
+    if scale is not None:
+      self.scale = scale
+      self.resize_width = 0
+    if transform is not None:
+      self.transform = transform
+    if correct_colors is not None:
+      self.correct_colors = correct_colors
+    if white_balance is not None:
+      self.white_balance = np.asarray(white_balance, np.float64)
+    if color_correction is not None:
+      self.color_correction = np.asarray(color_correction, np.float64)
+
+  # -- configuration-derived values ---------------------------------------
+
+  @property
+  def color_correct_matrix(self) -> Optional[np.ndarray]:
+    """CCM with white-balance gains folded into its columns
+    (reference camera_isp.py:360-369)."""
+    if self.correct_colors:
+      cc = self.color_correction.copy()
+      cc[:, :3] *= self.white_balance
+      return cc
+    return None
+
+  def _cc_tuple(self):
+    cc = self.color_correct_matrix
+    if cc is None:
+      return None
+    return tuple(np.asarray(cc, np.float32).flatten().tolist())
+
+  def _resize_plan(self, h: int, w: int):
+    """(output_size, scale) or None (reference camera_isp.py:302-315)."""
+    if self.resize_width > 0:
+      scale = self.resize_width / w
+      return (self.resize_width, round(h * scale)), scale
+    if self.scale is not None:
+      return (round(w * self.scale), round(h * self.scale)), self.scale
+    return None
+
+  # -- loaders (single image, reference API) ------------------------------
+
+  def _process_batch(self, cfa):
+    """Demosaic (+WB/CCM) then resize (reference camera_isp.py:371-373)."""
+    rgb = bayer_ops.bayer_to_rgb_batch(cfa, self.bayer_pattern,
+                                       correct_colors=self.color_correct_matrix)
+    plan = self._resize_plan(cfa.shape[1], cfa.shape[2])
+    if plan is not None:
+      size, scale = plan
+      rgb = _resize_batch(rgb, size, scale, self._work_dtype)
+    return rgb
+
+  def load_packed12(self, image_data, ids_format: bool = False):
+    """Packed 12-bit plane -> working-dtype RGB (camera_isp.py:333-340)."""
+    cfa = load_raw(jnp.asarray(image_data)[None], "packed12",
+                   self._work_dtype, ids_format)
+    return self._process_batch(cfa)[0]
+
+  def load_packed16(self, image_data):
+    cfa = load_raw(jnp.asarray(image_data)[None], "packed16",
+                   self._work_dtype)
+    return self._process_batch(cfa)[0]
+
+  def load_16u(self, image):
+    cfa = load_raw(jnp.asarray(image)[None], "u16", self._work_dtype)
+    return self._process_batch(cfa)[0]
+
+  def load_16f(self, image):
+    cfa = load_raw(jnp.asarray(image)[None], "f16", self._work_dtype)
+    return self._process_batch(cfa)[0]
+
+  def load_32f(self, image):
+    cfa = load_raw(jnp.asarray(image)[None], "f32", self._work_dtype)
+    return self._process_batch(cfa)[0]
+
+  # -- metering ------------------------------------------------------------
+
+  def update_metering(self, images: List):
+    """EMA metering over strided crops of all cameras
+    (reference camera_isp.py:376-385): first call seeds with t=0."""
+    batch = jnp.stack([jnp.asarray(im)[::self.metering_stride,
+                                       ::self.metering_stride, :]
+                       for im in images])
+    if self.metrics is None:
+      prev = jnp.zeros(9, jnp.float32)
+      t = 0.0
+    else:
+      prev = self.metrics
+      t = 1.0 - self.moving_alpha
+    self.metrics = _jit_metering(batch, prev, jnp.float32(t))
+
+  # -- tonemap -------------------------------------------------------------
+
+  def tonemap_only(self, image, metrics, gamma, intensity, light_adapt,
+                   color_adapt):
+    """Tonemap one image with explicit metrics (camera_isp.py:387-390)."""
+    out = _jit_reinhard(jnp.asarray(image)[None], jnp.asarray(metrics),
+                        jnp.float32(gamma), jnp.float32(intensity),
+                        jnp.float32(light_adapt), jnp.float32(color_adapt),
+                        self._work_dtype, self.transform)
+    return out[0]
+
+  def tonemap_reinhard(self, images: List, gamma: float = 1.0,
+                       intensity: float = 1.0, light_adapt: float = 1.0,
+                       color_adapt: float = 0.0):
+    """Shared metering update + per-camera Reinhard + output transform
+    (reference camera_isp.py:394-403)."""
+    self.update_metering(images)
+    batch = jnp.stack([jnp.asarray(im) for im in images])
+    out = _jit_reinhard(batch, self.metrics, jnp.float32(gamma),
+                        jnp.float32(intensity), jnp.float32(light_adapt),
+                        jnp.float32(color_adapt), self._work_dtype,
+                        self.transform)
+    return list(out)
+
+  def tonemap_linear(self, images: List, gamma: float = 1.0):
+    """Reference camera_isp.py:405-413."""
+    self.update_metering(images)
+    batch = jnp.stack([jnp.asarray(im) for im in images])
+    out = _jit_linear(batch, self.metrics, jnp.float32(gamma),
+                      self.transform)
+    return list(out)
+
+  # -- fused TPU-native step ----------------------------------------------
+
+  def process(self, raws, fmt: str = "packed12", ids_format: bool = False,
+              gamma: float = 1.0, intensity: float = 1.0,
+              light_adapt: float = 1.0, color_adapt: float = 0.0,
+              tonemap: str = "reinhard"):
+    """Fused whole-rig step: decode -> demosaic+WB/CCM -> resize ->
+    metering EMA -> tonemap -> transform, in ONE jitted call over the
+    camera batch. TPU-native extension (SURVEY.md §7 step 4); equivalent
+    to load_* + tonemap_* but without host round-trips.
+
+    ``raws``: (n_cameras, H, W_bytes|W) batch. Returns u8 outputs
+    (n_cameras, h', w', 3) and updates the EMA state.
+    """
+    raws = jnp.asarray(raws)
+    if self.metrics is None:
+      prev = jnp.zeros(9, jnp.float32)
+      t = 0.0
+    else:
+      prev = self.metrics
+      t = 1.0 - self.moving_alpha
+    new_metrics, out = _jit_fused_step(
+        raws, prev, jnp.float32(t), jnp.float32(gamma),
+        jnp.float32(intensity), jnp.float32(light_adapt),
+        jnp.float32(color_adapt),
+        fmt, ids_format, self._work_dtype, self.bayer_pattern,
+        self._cc_tuple(), self._resize_plan_key(raws, fmt),
+        self.metering_stride, self.transform, tonemap)
+    self.metrics = new_metrics
+    return out
+
+  def _resize_plan_key(self, raws, fmt):
+    h, w_raw = raws.shape[-2], raws.shape[-1]
+    w = {"packed12": w_raw * 2 // 3, "packed16": w_raw // 2}.get(fmt, w_raw)
+    plan = self._resize_plan(h, w)
+    return plan if plan is None else (plan[0], plan[1])
+
+
+# --------------------------------------------------------------------------
+# Jitted kernels shared by all ISP instances.
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, donate_argnums=(1,))
+def _jit_metering(batch, prev, t):
+  return metering_update(batch, prev, t)
+
+
+@partial(jax.jit, static_argnames=("work_dtype", "transform"))
+def _jit_reinhard(batch, metrics, gamma, intensity, light_adapt,
+                  color_adapt, work_dtype, transform):
+  out = reinhard_apply(batch, metrics, gamma, intensity, light_adapt,
+                       color_adapt, work_dtype)
+  return _transform_batch(out, transform)
+
+
+@partial(jax.jit, static_argnames=("transform",))
+def _jit_linear(batch, metrics, gamma, transform):
+  out = linear_apply(batch, metrics, gamma)
+  return _transform_batch(out, transform)
+
+
+def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
+                   fmt, ids_format, work_dtype, pattern, cc, resize_plan,
+                   stride, transform, tonemap, axis_name=None,
+                   n_total=None):
+  """The full per-frame ISP pipeline as a pure function (shardable).
+
+  When ``axis_name`` is given the camera batch axis is assumed sharded over
+  that mesh axis and metering completes with collectives.
+  """
+  cfa = load_raw(raws, fmt, work_dtype, ids_format)
+  rgb = bayer_ops.bayer_to_rgb_batch(cfa, pattern, correct_colors=cc)
+  if resize_plan is not None:
+    size, scale = resize_plan
+    rgb = _resize_batch(rgb, size, scale, work_dtype)
+  strided = rgb[:, ::stride, ::stride, :]
+  new_metrics = metering_update(strided, prev, t, axis_name=axis_name,
+                                n_total=n_total)
+  if tonemap == "reinhard":
+    out = reinhard_apply(rgb, new_metrics, gamma, intensity, light_adapt,
+                         color_adapt, work_dtype)
+  elif tonemap == "linear":
+    out = linear_apply(rgb, new_metrics, gamma)
+  else:
+    raise ValueError(f"unknown tonemap {tonemap}")
+  return new_metrics, _transform_batch(out, transform)
+
+
+@partial(jax.jit, static_argnames=(
+    "fmt", "ids_format", "work_dtype", "pattern", "cc", "resize_plan",
+    "stride", "transform", "tonemap"), donate_argnums=(1,))
+def _jit_fused_step(raws, prev, t, gamma, intensity, light_adapt,
+                    color_adapt, fmt, ids_format, work_dtype, pattern, cc,
+                    resize_plan, stride, transform, tonemap):
+  return fused_isp_step(raws, prev, t, gamma, intensity, light_adapt,
+                        color_adapt, fmt, ids_format, work_dtype, pattern,
+                        cc, resize_plan, stride, transform, tonemap)
+
+
+def camera_isp(name: str, dtype=types.f32):
+  """Class factory closing over a working dtype
+  (reference camera_isp.py:75-418)."""
+  cls = type(name, (_ISPBase,),
+             {"_work_dtype": types.canonical_dtype(dtype)})
+  cls.__qualname__ = name
+  cls.__module__ = __name__
+  return cls
+
+
+Camera16 = camera_isp("Camera16", types.f16)
+Camera32 = camera_isp("Camera32", types.f32)
+# TPU-preferred working dtype (reference has no bf16; SURVEY.md §7 notes
+# f16-for-parity / bf16-for-speed)
+CameraBF16 = camera_isp("CameraBF16", types.bf16)

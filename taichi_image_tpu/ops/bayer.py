@@ -1,0 +1,329 @@
+"""Bayer mosaic / demosaic (Malvar-He-Cutler and bilinear).
+
+Reference: ``taichi_image/bayer.py``. The reference demosaics with four
+13-tap 5x5 diamond stencils (one per 2x2 Bayer phase, each producing a vec3
+pixel, bayer.py:30-55,137-155), renormalizing dropped out-of-bounds taps at
+image borders per channel (bayer.py:145-151), with an optional fused 3x3
+color-correction matrix (bayer.py:127-130,152-153).
+
+TPU-native formulation
+----------------------
+Instead of a scalar gather loop per pixel, the CFA is split into its four
+half-resolution phase planes; every full-resolution 5x5 diamond tap then
+lands on one phase plane at an offset in {-1,0,1}, so the whole demosaic is
+a single dense 3x3 convolution with 4 input channels (phases) and 12 output
+channels (4 output phases x RGB), which XLA maps onto one fused
+convolution pass. Border renormalization is exact: interior tap-weight sums
+are the constant 16 per channel, and the four one-pixel border strips of
+the half-res grid divide by precomputed edge sums (equivalent to the
+reference's drop-and-renormalize, since zero padding drops exactly the
+out-of-image taps).
+"""
+
+from __future__ import annotations
+
+import enum
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from taichi_image_tpu import types
+from taichi_image_tpu.ops.kernel import symmetrical, zip_tuple
+from taichi_image_tpu.utils.cache import cache
+
+__all__ = [
+    "BayerPattern", "pixel_orders", "kernel_patterns",
+    "diamond_kernel", "make_bayer_kernels", "make_bilinear_kernels",
+    "scale_kernel", "bayer_kernels", "bilinear_kernels",
+    "rgb_to_bayer", "bayer_to_rgb", "bayer_to_rgb_batch",
+]
+
+
+def diamond_kernel(weights):
+  """13 diamond-shaped (offset, weight) taps over a 5x5 support
+  (reference bayer.py:15-27). Offsets are (row, col)."""
+  diamond = [
+      (0, 1),
+      (-1, 2),
+      (-2, 3),
+      (-1, 2),
+      (0, 1),
+  ]
+  offsets = [(i - 2, x) for i, r in enumerate(diamond) for x in range(*r)]
+  assert len(offsets) == len(weights), (
+      f"incorrect weight length {len(offsets)} != {len(weights)}")
+  return tuple(zip(offsets, weights))
+
+
+def make_bayer_kernels():
+  """Four per-phase vec3 Malvar-He-Cutler weight tables, integer weights
+  summing to 16 per channel (reference bayer.py:30-55)."""
+  g_rb, r_g1, r_g2, rb_br, ident = [
+      symmetrical(w) for w in [
+          [(-2,), (0, 4), (-2, 4, 8)],   # G at R,B locations
+          [(-2,), (-2, 8), (1, 0, 10)],  # R at G1 and B at G2
+          [(1,), (-2, 0), (-2, 8, 10)],  # B at G1 and R at G2
+          [(-3,), (4, 0), (-3, 0, 12)],  # R at B and B at R
+          [(0,), (0, 0), (0, 0, 16)],    # Identity
+      ]
+  ]
+  b_g1 = r_g2
+  b_g2 = r_g1
+  vec_weights = [
+      zip_tuple(ident, g_rb, rb_br),  # R phase
+      zip_tuple(r_g1, ident, b_g1),   # G1 phase
+      zip_tuple(r_g2, ident, b_g2),   # G2 phase
+      zip_tuple(rb_br, g_rb, ident),  # B phase
+  ]
+  return tuple(diamond_kernel(w) for w in vec_weights)
+
+
+def make_bilinear_kernels():
+  """Four per-phase vec3 bilinear weight tables on the same 13-tap diamond
+  support (cheap demosaic mode; no reference in-repo counterpart — the
+  reference compares against an external bilinear implementation,
+  test/compare_bayer.py:34)."""
+  ident = symmetrical([(0,), (0, 0), (0, 0, 4)])
+  cross = symmetrical([(0,), (0, 1), (0, 1, 0)])          # 4-neighbor cross
+  vert = symmetrical([(0,), (0, 2), (0, 0, 0)])           # up/down pair
+  horiz = symmetrical([(0,), (0, 0), (0, 2, 0)])          # left/right pair
+  diag = symmetrical([(0,), (1, 0), (0, 0, 0)])           # 4 diagonals
+  vec_weights = [
+      zip_tuple(ident, cross, diag),  # R phase
+      zip_tuple(vert, ident, horiz),  # phase with R above/below
+      zip_tuple(horiz, ident, vert),  # phase with R left/right
+      zip_tuple(diag, cross, ident),  # B phase
+  ]
+  return tuple(diamond_kernel(w) for w in vec_weights)
+
+
+def scale_kernel(kernel, scale):
+  """Scale a kernel's vec3 weights, preserving offsets
+  (reference bayer.py:57-68)."""
+  return tuple(
+      (offset, tuple(w * s for w, s in zip(weight, scale)))
+      for offset, weight in kernel)
+
+
+bayer_kernels = make_bayer_kernels()
+bilinear_kernels = make_bilinear_kernels()
+
+
+class BayerPattern(enum.Enum):
+  """CFA layout of the top-left 2x2 quad (reference bayer.py:75-83)."""
+  RGGB = 0
+  GRBG = 1
+  GBRG = 2
+  BGGR = 3
+
+  @property
+  def pixel_order(self):
+    return pixel_orders[self]
+
+
+# pattern -> which RGB channel each 2x2 position samples, in the order
+# (even,even), (even,odd), (odd,even), (odd,odd) of (row, col)
+# (reference bayer.py:85-90; the reference's mosaic loop assigns p1..p4 in
+# this order, bayer.py:106-112).
+pixel_orders = {
+    BayerPattern.RGGB: (0, 1, 1, 2),
+    BayerPattern.GRBG: (1, 0, 2, 1),
+    BayerPattern.GBRG: (1, 2, 0, 1),
+    BayerPattern.BGGR: (2, 1, 1, 0),
+}
+
+# pattern -> permutation of the 4 phase kernels, in the order
+# (even,even), (odd,even), (even,odd), (odd,odd) of (row, col)
+# (the reference's demosaic loop applies kernels[0..3] at those positions,
+# bayer.py:162-175; reference table bayer.py:92-97).
+kernel_patterns = {
+    BayerPattern.RGGB: (0, 1, 2, 3),
+    BayerPattern.GBRG: (1, 0, 3, 2),
+    BayerPattern.GRBG: (2, 3, 0, 1),
+    BayerPattern.BGGR: (3, 2, 1, 0),
+}
+
+# Order in which output phases are laid out in the 12-channel conv output:
+# index p -> (row parity, col parity); matches the kernel application order
+# above.
+_PHASE_PARITY = ((0, 0), (1, 0), (0, 1), (1, 1))
+
+
+def _phase_conv_weights(kernels) -> np.ndarray:
+  """Decompose four full-res 13-tap diamond vec3 kernels into a dense
+  (12, 4, 3, 3) phase-plane convolution weight tensor.
+
+  Out channel = out_phase * 3 + rgb. In channel = input phase index with
+  parity order (0,0), (0,1), (1,0), (1,1) (row-major parities).
+  """
+  w = np.zeros((12, 4, 3, 3), np.float32)
+  for p, (dy, dx) in enumerate(_PHASE_PARITY):
+    for (oy, ox), weight in kernels[p]:
+      sy, sx = dy + oy, dx + ox
+      in_phase = (sy % 2) * 2 + (sx % 2)
+      u, v = sy // 2, sx // 2  # floor division: in {-1, 0, 1}
+      for c in range(3):
+        w[p * 3 + c, in_phase, u + 1, v + 1] += weight[c]
+  return w
+
+
+def _edge_sums(w: np.ndarray, hh: int, wh: int):
+  """Per-channel surviving-weight sums for the four border strips of the
+  half-res grid (exact equivalent of reference bayer.py:145-151).
+
+  Returns (interior (12,), top (12, wh), bottom (12, wh), left (12, hh),
+  right (12, hh)) float32 arrays. Assumes hh >= 2 and wh >= 2.
+  """
+  ws = w.sum(axis=1)  # (12, 3, 3): total weight per (out_ch, u+1, v+1)
+
+  def rsum(rows, cols):
+    return ws[:, rows, :][:, :, cols].sum(axis=(1, 2))  # (12,)
+
+  full = rsum([0, 1, 2], [0, 1, 2])
+  t_mid = rsum([1, 2], [0, 1, 2])    # top row: u=-1 dropped
+  b_mid = rsum([0, 1], [0, 1, 2])
+  l_mid = rsum([0, 1, 2], [1, 2])
+  r_mid = rsum([0, 1, 2], [0, 1])
+  tl = rsum([1, 2], [1, 2])
+  tr = rsum([1, 2], [0, 1])
+  bl = rsum([0, 1], [1, 2])
+  br = rsum([0, 1], [0, 1])
+
+  top = np.tile(t_mid[:, None], (1, wh))
+  top[:, 0], top[:, -1] = tl, tr
+  bottom = np.tile(b_mid[:, None], (1, wh))
+  bottom[:, 0], bottom[:, -1] = bl, br
+  left = np.tile(l_mid[:, None], (1, hh))
+  left[:, 0], left[:, -1] = tl, bl
+  right = np.tile(r_mid[:, None], (1, hh))
+  right[:, 0], right[:, -1] = tr, br
+  return full, top, bottom, left, right
+
+
+@cache
+def _demosaic_tables(pattern: BayerPattern, method: str):
+  base = bayer_kernels if method == "mhc" else bilinear_kernels
+  kernels = tuple(base[i] for i in kernel_patterns[pattern])
+  return _phase_conv_weights(kernels)
+
+
+@partial(jax.jit, static_argnames=(
+    "pattern", "correct_colors", "in_dtype", "out_dtype", "method"))
+def _bayer_to_rgb(cfa, pattern, correct_colors, in_dtype, out_dtype, method):
+  """Demosaic a batch of CFA images (N, H, W) -> (N, H, W, 3)."""
+  n, h, w = cfa.shape
+  hh, wh = h // 2, w // 2
+  weights = _demosaic_tables(pattern, method)  # (12, 4, 3, 3) np
+
+  # Phase planes as conv input channels: (N, 4, H/2, W/2).
+  x = cfa.reshape(n, hh, 2, wh, 2).transpose(0, 2, 4, 1, 3)
+  x = x.reshape(n, 4, hh, wh).astype(jnp.float32)
+
+  num = jax.lax.conv_general_dilated(
+      x, jnp.asarray(weights),
+      window_strides=(1, 1),
+      padding=((1, 1), (1, 1)),
+      dimension_numbers=("NCHW", "OIHW", "NCHW"),
+      precision=jax.lax.Precision.HIGHEST,
+      preferred_element_type=jnp.float32)  # (N, 12, hh, wh)
+
+  in_scale = types.scale_of(in_dtype)
+  if hh >= 2 and wh >= 2:
+    full, top, bottom, left, right = _edge_sums(weights, hh, wh)
+    out = num * jnp.asarray(1.0 / (full * in_scale),
+                            jnp.float32)[None, :, None, None]
+    inv = lambda d: jnp.asarray(1.0 / (d * in_scale), jnp.float32)
+    out = out.at[:, :, 0, :].set(num[:, :, 0, :] * inv(top)[None])
+    out = out.at[:, :, -1, :].set(num[:, :, -1, :] * inv(bottom)[None])
+    out = out.at[:, :, :, 0].set(num[:, :, :, 0] * inv(left)[None])
+    out = out.at[:, :, :, -1].set(num[:, :, :, -1] * inv(right)[None])
+  else:
+    # Degenerate tiny images: materialize the full denominator.
+    ones = jnp.ones((1, 4, hh, wh), jnp.float32)
+    denom = jax.lax.conv_general_dilated(
+        ones, jnp.asarray(weights), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    out = num / (denom * in_scale)
+
+  # (N, 12, hh, wh) -> (N, 4, 3, hh, wh), phases in (row, col)-parity order
+  # (0,0), (1,0), (0,1), (1,1) -> reorder to row-parity-major for reshape.
+  out = out.reshape(n, 4, 3, hh, wh)
+  out = out[:, jnp.array([0, 2, 1, 3]), ...]  # -> (0,0), (0,1), (1,0), (1,1)
+  out = out.reshape(n, 2, 2, 3, hh, wh)       # (N, dy, dx, c, i, j)
+  out = out.transpose(0, 4, 1, 5, 2, 3)        # (N, i, dy, j, dx, c)
+  rgb = out.reshape(n, h, w, 3)
+
+  if correct_colors is not None:
+    cc = jnp.asarray(np.array(correct_colors, np.float32).reshape(3, 3))
+    rgb = jnp.einsum("nhwc,dc->nhwd", rgb, cc,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+
+  rgb = jnp.clip(rgb, 0.0, 1.0)
+  return types.from_float(rgb, out_dtype)
+
+
+def bayer_to_rgb(bayer,
+                 pattern: BayerPattern = BayerPattern.RGGB,
+                 correct_colors: Optional[np.ndarray] = None,
+                 dtype=None,
+                 method: str = "mhc"):
+  """Demosaic a 2-D CFA image to (H, W, 3) RGB.
+
+  Matches reference ``bayer_to_rgb`` (bayer.py:202-219): Malvar-He-Cutler
+  13-tap stencils, border renormalization, optional fused 3x3 color
+  correction (row-major 3x3 applied as ``cc @ rgb``), clamp to [0,1] and
+  rescale/cast to ``dtype`` (defaults to the input dtype). ``method`` may
+  be "mhc" (reference parity) or "bilinear" (cheap mode).
+  """
+  assert bayer.ndim == 2, "image must be mono bayer"
+  assert bayer.shape[0] % 2 == 0 and bayer.shape[1] % 2 == 0, (
+      "image must be even size")
+  in_dtype = types.dtype_of(bayer)
+  out_dtype = in_dtype if dtype is None else types.canonical_dtype(dtype)
+  cc = None
+  if correct_colors is not None:
+    cc = tuple(np.asarray(correct_colors, np.float32).flatten().tolist())
+  out = _bayer_to_rgb(jnp.asarray(bayer)[None], pattern, cc, in_dtype,
+                      out_dtype, method)
+  return out[0]
+
+
+def bayer_to_rgb_batch(bayer,
+                       pattern: BayerPattern = BayerPattern.RGGB,
+                       correct_colors=None,
+                       dtype=None,
+                       method: str = "mhc"):
+  """Batched demosaic: (N, H, W) -> (N, H, W, 3). TPU-native extension used
+  by the fused multi-camera ISP step."""
+  assert bayer.ndim == 3, "expected batch of mono bayer images"
+  in_dtype = types.dtype_of(bayer)
+  out_dtype = in_dtype if dtype is None else types.canonical_dtype(dtype)
+  cc = None
+  if correct_colors is not None:
+    cc = tuple(np.asarray(correct_colors, np.float32).flatten().tolist())
+  return _bayer_to_rgb(jnp.asarray(bayer), pattern, cc, in_dtype,
+                       out_dtype, method)
+
+
+@partial(jax.jit, static_argnames=("pixel_order",))
+def _rgb_to_bayer(image, pixel_order):
+  h, w = image.shape[:2]
+  hh, wh = h // 2, w // 2
+  p1, p2, p3, p4 = pixel_order
+  x = image.reshape(hh, 2, wh, 2, 3)
+  quad = jnp.stack([
+      jnp.stack([x[:, 0, :, 0, p1], x[:, 0, :, 1, p2]], axis=-1),
+      jnp.stack([x[:, 1, :, 0, p3], x[:, 1, :, 1, p4]], axis=-1),
+  ], axis=1)  # (hh, 2, wh, 2)
+  return quad.reshape(h, w)
+
+
+def rgb_to_bayer(image, pattern: BayerPattern = BayerPattern.RGGB):
+  """Mosaic an RGB image to a single-channel CFA by 2x2 phase sampling
+  (reference bayer.py:101-112,193-198)."""
+  assert image.ndim == 3 and image.shape[2] == 3, "image must be RGB"
+  return _rgb_to_bayer(jnp.asarray(image), pattern.pixel_order)

@@ -1,0 +1,256 @@
+"""Multi-camera ISP pipeline tests (reference camera_isp.py semantics)."""
+
+import numpy as np
+import pytest
+
+from taichi_image_tpu import types
+import taichi_image_tpu.models.camera_isp as isp_mod
+from taichi_image_tpu.models.camera_isp import Camera16, Camera32
+from taichi_image_tpu.ops import bayer, packed
+from taichi_image_tpu.ops.interpolate import ImageTransform
+from conftest import make_test_rgb, psnr
+from oracle import (isp_linear_oracle, isp_reinhard_oracle,
+                    metering_update_oracle, rgb_to_bayer_oracle)
+
+
+def load_test_image(h=64, w=96, pattern=bayer.BayerPattern.RGGB, seed=0):
+  """Synthetic RAW from an RGB photo: mosaic + 12-bit pack (mirrors
+  reference test/camera_isp.py:10-21)."""
+  img = make_test_rgb(h, w, seed)
+  cfa = rgb_to_bayer_oracle(np.clip(img, 0, 1), pattern.name)
+  raw = np.asarray(packed.encode12(cfa, scaled=True))
+  return raw, img
+
+
+def test_load_packed12_shapes():
+  raw, img = load_test_image()
+  isp = Camera32(bayer.BayerPattern.RGGB)
+  rgb = np.asarray(isp.load_packed12(raw))
+  assert rgb.shape == (64, 96, 3)
+  assert rgb.dtype == np.float32
+  assert psnr(rgb, img) > 30
+
+
+def test_load_packed12_f16():
+  raw, img = load_test_image()
+  isp = Camera16(bayer.BayerPattern.RGGB)
+  rgb = np.asarray(isp.load_packed12(raw))
+  assert rgb.dtype == np.float16
+  assert psnr(rgb.astype(np.float32), img) > 30
+
+
+def test_load_packed16():
+  img = make_test_rgb(32, 48)
+  cfa16 = (rgb_to_bayer_oracle(img, "RGGB") * 65535).astype(np.uint16)
+  raw = np.asarray(packed.encode16(cfa16))
+  isp = Camera32(bayer.BayerPattern.RGGB)
+  rgb = np.asarray(isp.load_packed16(raw))
+  assert rgb.shape == (32, 48, 3)
+  assert psnr(rgb, img) > 30
+
+
+def test_load_16u():
+  img = make_test_rgb(32, 48)
+  cfa16 = (rgb_to_bayer_oracle(img, "RGGB") * 65535).astype(np.uint16)
+  isp = Camera32(bayer.BayerPattern.RGGB)
+  rgb = np.asarray(isp.load_16u(cfa16))
+  assert psnr(rgb, img) > 30
+
+
+def test_load_32f():
+  img = make_test_rgb(32, 48)
+  cfa = rgb_to_bayer_oracle(img, "RGGB")
+  isp = Camera32(bayer.BayerPattern.RGGB)
+  rgb = np.asarray(isp.load_32f(cfa))
+  assert psnr(rgb, img) > 30
+
+
+def test_resize_width_policy():
+  raw, _ = load_test_image(64, 96)
+  isp = Camera32(bayer.BayerPattern.RGGB, resize_width=48)
+  rgb = np.asarray(isp.load_packed12(raw))
+  assert rgb.shape == (32, 48, 3)
+
+
+def test_scale_policy():
+  raw, _ = load_test_image(64, 96)
+  isp = Camera32(bayer.BayerPattern.RGGB, scale=0.5)
+  rgb = np.asarray(isp.load_packed12(raw))
+  assert rgb.shape == (32, 48, 3)
+
+
+def test_scale_and_width_mutually_exclusive():
+  with pytest.raises(AssertionError):
+    Camera32(bayer.BayerPattern.RGGB, scale=0.5, resize_width=100)
+
+
+def test_set_reconfig():
+  isp = Camera32(bayer.BayerPattern.RGGB, scale=0.5)
+  isp.set(resize_width=48)
+  assert isp.resize_width == 48 and isp.scale is None
+  isp.set(scale=0.25)
+  assert isp.scale == 0.25 and isp.resize_width == 0
+  isp.set(moving_alpha=0.5, correct_colors=True,
+          transform=ImageTransform.rotate_90)
+  assert isp.moving_alpha == 0.5 and isp.correct_colors
+  assert isp.transform == ImageTransform.rotate_90
+
+
+def test_color_correct_matrix_folds_wb():
+  isp = Camera32(bayer.BayerPattern.RGGB, correct_colors=True,
+                 white_balance=np.array([2.0, 1.0, 3.0]))
+  cc = isp.color_correct_matrix
+  want = isp_mod.default_cc.copy()
+  want[:, 0] *= 2.0
+  want[:, 2] *= 3.0
+  np.testing.assert_allclose(cc, want)
+  isp2 = Camera32(bayer.BayerPattern.RGGB, correct_colors=False)
+  assert isp2.color_correct_matrix is None
+
+
+def test_metering_update_vs_oracle():
+  imgs = np.stack([make_test_rgb(40, 40, seed=s) for s in range(3)])
+  prev = np.zeros(9, np.float32)
+  from taichi_image_tpu.models.camera_isp import metering_update
+  got = np.asarray(metering_update(imgs, prev, 0.0))
+  want = metering_update_oracle(imgs, prev, 0.0)
+  np.testing.assert_allclose(got, want, atol=1e-5)
+  # second update with EMA
+  prev2 = want
+  got2 = np.asarray(metering_update(imgs * 0.5, prev2, 0.9))
+  want2 = metering_update_oracle(imgs * 0.5, prev2, 0.9)
+  np.testing.assert_allclose(got2, want2, atol=1e-5)
+
+
+def test_metering_ema_seeding():
+  raw, _ = load_test_image()
+  isp = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.1)
+  images = [isp.load_packed12(raw) for _ in range(2)]
+  isp.update_metering(images)
+  first = np.asarray(isp.metrics).copy()
+  # second update with identical images: EMA of identical stats is stable
+  isp.update_metering(images)
+  second = np.asarray(isp.metrics)
+  np.testing.assert_allclose(first, second, atol=1e-4)
+
+
+def test_reinhard_apply_vs_oracle():
+  img = make_test_rgb(48, 64)
+  metrics = metering_update_oracle(img[None], np.zeros(9, np.float32), 0.0)
+  from taichi_image_tpu.models.camera_isp import reinhard_apply
+  import jax.numpy as jnp
+  got = np.asarray(reinhard_apply(jnp.asarray(img), jnp.asarray(metrics),
+                                  0.9, 2.0, 0.8, 0.2, types.f32))
+  want = isp_reinhard_oracle(img, metrics, 0.9, 2.0, 0.8, 0.2)
+  assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_linear_apply_vs_oracle():
+  img = make_test_rgb(48, 64)
+  metrics = metering_update_oracle(img[None], np.zeros(9, np.float32), 0.0)
+  from taichi_image_tpu.models.camera_isp import linear_apply
+  import jax.numpy as jnp
+  got = np.asarray(linear_apply(jnp.asarray(img), jnp.asarray(metrics), 0.8))
+  want = isp_linear_oracle(img, metrics, 0.8)
+  assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_tonemap_reinhard_six_cameras():
+  raw, _ = load_test_image()
+  isp = Camera32(bayer.BayerPattern.RGGB, moving_alpha=1.0)
+  images = [isp.load_packed12(raw) for _ in range(6)]
+  outputs = isp.tonemap_reinhard(images, gamma=0.6)
+  assert len(outputs) == 6
+  out = np.asarray(outputs[0])
+  assert out.dtype == np.uint8 and out.shape == (64, 96, 3)
+  # all cameras identical input -> identical output
+  np.testing.assert_array_equal(out, np.asarray(outputs[5]))
+  assert out.max() > 100  # produced a reasonably exposed image
+
+
+def test_tonemap_linear_cameras():
+  raw, _ = load_test_image()
+  isp = Camera32(bayer.BayerPattern.RGGB)
+  images = [isp.load_packed12(raw) for _ in range(2)]
+  outputs = isp.tonemap_linear(images, gamma=1.0)
+  assert len(outputs) == 2 and np.asarray(outputs[0]).dtype == np.uint8
+
+
+def test_transform_applied_to_outputs():
+  raw, _ = load_test_image(64, 96)
+  isp = Camera32(bayer.BayerPattern.RGGB,
+                 transform=ImageTransform.rotate_90)
+  images = [isp.load_packed12(raw)]
+  outputs = isp.tonemap_reinhard(images)
+  assert np.asarray(outputs[0]).shape == (96, 64, 3)
+
+
+def test_tonemap_only():
+  raw, _ = load_test_image()
+  isp = Camera32(bayer.BayerPattern.RGGB)
+  img = isp.load_packed12(raw)
+  isp.update_metering([img])
+  out = np.asarray(isp.tonemap_only(img, isp.metrics, 1.0, 1.0, 1.0, 0.0))
+  assert out.dtype == np.uint8 and out.shape == (64, 96, 3)
+
+
+def test_fused_step_matches_composed_path():
+  """The one-jit fused step must produce the same outputs and metering
+  state as the reference-style composed path (load_* + tonemap_*)."""
+  raw, _ = load_test_image(64, 96)
+  raws = np.stack([raw] * 3)
+
+  composed = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.2)
+  images = [composed.load_packed12(r) for r in raws]
+  out_composed = composed.tonemap_reinhard(images, gamma=0.8, intensity=2.0)
+
+  fused = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.2)
+  out_fused = fused.process(raws, gamma=0.8, intensity=2.0)
+
+  np.testing.assert_allclose(np.asarray(fused.metrics),
+                             np.asarray(composed.metrics), atol=1e-5)
+  for i in range(3):
+    got = np.asarray(out_fused[i]).astype(int)
+    want = np.asarray(out_composed[i]).astype(int)
+    assert np.abs(got - want).max() <= 1
+
+  # second frame exercises the EMA path
+  out2_c = composed.tonemap_reinhard(images, gamma=0.8, intensity=2.0)
+  out2_f = fused.process(raws, gamma=0.8, intensity=2.0)
+  np.testing.assert_allclose(np.asarray(fused.metrics),
+                             np.asarray(composed.metrics), atol=1e-5)
+  assert np.abs(np.asarray(out2_f[0]).astype(int)
+                - np.asarray(out2_c[0]).astype(int)).max() <= 1
+
+
+def test_fused_step_with_resize_and_transform():
+  raw, _ = load_test_image(64, 96)
+  raws = np.stack([raw] * 2)
+  isp = Camera32(bayer.BayerPattern.RGGB, resize_width=48,
+                 transform=ImageTransform.rotate_90)
+  out = np.asarray(isp.process(raws))
+  assert out.shape == (2, 48, 32, 3)
+
+
+def test_fused_linear():
+  raw, _ = load_test_image(64, 96)
+  isp = Camera32(bayer.BayerPattern.RGGB)
+  out = np.asarray(isp.process(np.stack([raw]), tonemap="linear"))
+  assert out.dtype == np.uint8
+
+
+def test_camera_bf16():
+  raw, img = load_test_image()
+  isp = isp_mod.CameraBF16(bayer.BayerPattern.RGGB)
+  out = isp.process(np.stack([raw] * 2), gamma=0.8)
+  assert np.asarray(out).dtype == np.uint8
+  # bf16 working dtype should still produce a clean image
+  f32 = Camera32(bayer.BayerPattern.RGGB)
+  ref = f32.process(np.stack([raw] * 2), gamma=0.8)
+  diff = np.abs(np.asarray(out).astype(int) - np.asarray(ref).astype(int))
+  assert diff.mean() < 4.0
+
+
+def test_moving_average_helper():
+  assert isp_mod.moving_average(None, 5.0, 0.1) == 5.0
+  assert isp_mod.moving_average(0.0, 10.0, 0.1) == pytest.approx(1.0)
