@@ -118,6 +118,12 @@ def reinhard_apply(image, metrics, gamma, intensity, light_adapt,
   adapt = jnp.power(jnp.exp(-intensity) * adapt_mean, map_key)
   p = scaled * (1.0 / (adapt + scaled))
 
+  # Dark pixels below the EMA bounds give scaled < 0 and the pow above
+  # produces NaN — the reference's CUDA atomicMax IGNORES NaN (fmaxf
+  # semantics, camera_isp.py:213), so only those pixels are corrupted, not
+  # the whole frame. Replicate: NaN-ignoring max, NaN output pixels -> 0.
+  p = jnp.where(jnp.isnan(p), 0.0, p)
+
   # the reference stores p in the working dtype, then reduces max over the
   # pre-cast f32 values and reads back the cast image (camera_isp.py:211-218)
   p_cast = p.astype(types.canonical_dtype(work_dtype))

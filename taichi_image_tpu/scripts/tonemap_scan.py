@@ -1,0 +1,88 @@
+"""Production batch CLI: multi-camera scan folders -> prefetch -> fused
+ISP -> JPEG grid.
+
+Reference: ``taichi_image/scripts/tonemap_scan.py`` (the console tool the
+reference declares at pyproject.toml:34-35). Differences: raw frame sets
+are stacked into one camera batch and run through the ONE fused jitted ISP
+step per frame set (instead of per-camera kernel launch loops), and images
+are written with PIL instead of OpenCV. ``--show`` is unavailable headless
+and replaced by ``--write``.
+"""
+
+from __future__ import annotations
+
+import argparse
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+
+from taichi_image_tpu.models import camera_isp
+from taichi_image_tpu.ops.bayer import BayerPattern
+from taichi_image_tpu.ops.interpolate import ImageTransform
+from taichi_image_tpu.scripts.util import (
+    concat_image_grid, find_folder_images, find_scan_folders,
+    load_images_iter, load_raw_bytes, progress, write_image)
+
+
+def main(argv=None):
+  parser = argparse.ArgumentParser(description=__doc__)
+  parser.add_argument("--scan", type=Path)
+  parser.add_argument("--images", type=Path)
+  parser.add_argument("--reverse", action="store_true")
+  parser.add_argument("--width", type=int, default=4096)
+
+  # tonemap parameters (reference defaults, tonemap_scan.py:115-121)
+  parser.add_argument("--gamma", type=float, default=0.9)
+  parser.add_argument("--intensity", type=float, default=3.0)
+  parser.add_argument("--color_adapt", type=float, default=0.0)
+  parser.add_argument("--light_adapt", type=float, default=0.9)
+  parser.add_argument("--moving_alpha", type=float, default=0.02)
+  parser.add_argument("--resize_width", type=int, default=0)
+  parser.add_argument("--transform", type=ImageTransform,
+                      default=ImageTransform.rotate_90)
+  parser.add_argument("--correct_colors", action="store_true")
+  parser.add_argument("--write", type=Path, default=None)
+  parser.add_argument("--rows", type=int, default=2)
+  parser.add_argument("--ids_format", action="store_true")
+  parser.add_argument("--dtype", choices=["f16", "f32", "bf16"],
+                      default="f32")
+  args = parser.parse_args(argv)
+
+  cls = {"f16": camera_isp.Camera16, "f32": camera_isp.Camera32,
+         "bf16": camera_isp.CameraBF16}[args.dtype]
+  isp = cls(BayerPattern.RGGB,
+            transform=args.transform,
+            moving_alpha=args.moving_alpha,
+            resize_width=args.resize_width,
+            correct_colors=args.correct_colors)
+
+  if args.scan is not None:
+    folders, names = find_scan_folders(args.scan)
+  elif args.images is not None:
+    folders, names = find_folder_images(args.images)
+  else:
+    raise ValueError("No --scan or --images specified")
+
+  if args.reverse:
+    names = list(reversed(names))
+
+  images = load_images_iter(load_raw_bytes, folders, names)
+  row_bytes = (args.width * 3) // 2
+
+  for name, group in progress(images, total=len(names), desc="tonemap"):
+    raws = np.stack([b.reshape(-1, row_bytes) for b in group.values()])
+    outputs = isp.process(raws, ids_format=args.ids_format,
+                          gamma=args.gamma, intensity=args.intensity,
+                          light_adapt=args.light_adapt,
+                          color_adapt=args.color_adapt)
+    grid = concat_image_grid([np.asarray(o) for o in outputs],
+                             rows=args.rows)
+    if args.write is not None:
+      args.write.mkdir(exist_ok=True, parents=True)
+      filename = args.write / f"{Path(name).stem}.jpg"
+      write_image(filename, grid)
+
+
+if __name__ == "__main__":
+  main()

@@ -20,10 +20,6 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
-# persistent compilation cache: repeated suite runs skip recompiles
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
 
 @pytest.fixture
 def rng():

@@ -333,6 +333,9 @@ def isp_reinhard_oracle(image, metrics, gamma=1.0, intensity=1.0,
   adapt_mean = mean + light_adapt * (adapt_color - mean)
   adapt = np.power(np.exp(-intensity) * adapt_mean, map_key)
   p = scaled / (adapt + scaled)
+  # dark pixels below the EMA bounds -> NaN; the reference's atomicMax
+  # ignores NaN (fmaxf), corrupted pixels land at 0
+  p = np.where(np.isnan(p), 0.0, p)
   p_cast = p.astype(work_dtype)
   max_out = max(1e-6, p.max())
   out = np.power(p_cast.astype(np.float32) / max_out, 1.0 / gamma)

@@ -1,0 +1,84 @@
+"""End-to-end CLI tests: synthetic multi-camera scan -> tonemap_scan ->
+JPEG grid outputs (reference scripts/tonemap_scan.py workflow)."""
+
+import numpy as np
+import pytest
+
+from taichi_image_tpu.ops import packed
+from taichi_image_tpu.scripts import util as sutil
+from conftest import make_test_rgb
+from oracle import rgb_to_bayer_oracle
+
+
+def _write_scan(tmp_path, n_cams=2, n_frames=3, h=64, w=96):
+  tmp_path.mkdir(parents=True, exist_ok=True)
+  for cam in range(n_cams):
+    d = tmp_path / f"cam{cam}"
+    d.mkdir()
+    for f in range(n_frames):
+      img = make_test_rgb(h, w, seed=cam * 10 + f)
+      cfa = rgb_to_bayer_oracle(img, "RGGB")
+      raw = np.asarray(packed.encode12(cfa, scaled=True))
+      (d / f"frame{f:03d}.raw").write_bytes(raw.tobytes())
+  return tmp_path
+
+
+def test_natsorted():
+  assert sutil.natsorted(["f10", "f2", "f1"]) == ["f1", "f2", "f10"]
+
+
+def test_find_scan_folders(tmp_path):
+  _write_scan(tmp_path)
+  folders, names = sutil.find_scan_folders(tmp_path)
+  assert len(folders) == 2
+  assert names == ["frame000.raw", "frame001.raw", "frame002.raw"]
+
+
+def test_load_images_iter(tmp_path):
+  _write_scan(tmp_path, n_cams=2, n_frames=3)
+  folders, names = sutil.find_scan_folders(tmp_path)
+  seen = list(sutil.load_images_iter(sutil.load_raw_bytes, folders, names))
+  assert [n for n, _ in seen] == names
+  for _, group in seen:
+    assert len(group) == 2
+    for arr in group.values():
+      assert arr.dtype == np.uint8
+
+
+def test_concat_image_grid():
+  imgs = [np.full((4, 6, 3), i, np.uint8) for i in range(4)]
+  grid = sutil.concat_image_grid(imgs, rows=2)
+  assert grid.shape == (8, 12, 3)
+  assert grid[0, 0, 0] == 0 and grid[0, 11, 0] == 1
+  assert grid[7, 0, 0] == 2 and grid[7, 11, 0] == 3
+
+
+def test_tonemap_scan_end_to_end(tmp_path):
+  pytest.importorskip("PIL")
+  scan = _write_scan(tmp_path / "scan", h=64, w=96)
+  out = tmp_path / "out"
+  from taichi_image_tpu.scripts.tonemap_scan import main
+  main(["--scan", str(scan), "--width", "96", "--resize_width", "48",
+        "--write", str(out), "--transform", "none", "--rows", "1"])
+  files = sorted(out.glob("*.jpg"))
+  assert len(files) == 3
+  from PIL import Image
+  img = np.asarray(Image.open(files[0]))
+  # 2 cameras side by side, resized to width 48 (height 32)
+  assert img.shape == (32, 96, 3)
+  assert img.std() > 5  # not a blank image
+
+
+def test_tonemap_images_end_to_end(tmp_path):
+  pytest.importorskip("PIL")
+  from PIL import Image
+  d = tmp_path / "imgs"
+  d.mkdir()
+  for i in range(2):
+    img = make_test_rgb(32, 48, seed=i)
+    cfa = (rgb_to_bayer_oracle(img, "RGGB") * 65535).astype(np.uint16)
+    Image.fromarray(cfa).save(str(d / f"im{i}.png"))
+  out = tmp_path / "out"
+  from taichi_image_tpu.scripts.tonemap_images import main
+  main([str(d), "--write", str(out)])
+  assert len(list(out.glob("*.jpg"))) == 2

@@ -1,0 +1,75 @@
+"""Dtype convention and kernel-table tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from taichi_image_tpu import types
+from taichi_image_tpu.ops import kernel
+
+
+def test_scale_factors():
+  assert types.scale_of(np.uint8) == 255
+  assert types.scale_of(np.uint16) == 65535
+  assert types.scale_of(np.int16) == 32767
+  assert types.scale_of(np.float16) == 1.0
+  assert types.scale_of(jnp.bfloat16) == 1.0
+  assert types.scale_of(np.float32) == 1.0
+
+
+def test_canonical_rejects_unknown():
+  with pytest.raises(ValueError):
+    types.canonical_dtype(np.float64)
+  with pytest.raises(ValueError):
+    types.canonical_dtype(np.int32)
+
+
+def test_to_from_float_roundtrip():
+  x = jnp.asarray(np.array([0, 128, 255], np.uint8))
+  f = types.to_float(x)
+  np.testing.assert_allclose(np.asarray(f), [0, 128 / 255, 1.0], atol=1e-6)
+  back = types.from_float(f, np.uint8)
+  assert np.array_equal(np.asarray(back), [0, 128, 255])
+
+
+def test_from_float_truncates():
+  f = jnp.asarray([0.999, 1.0], jnp.float32)
+  out = np.asarray(types.from_float(f, np.uint8))
+  assert out[0] == 254  # 0.999*255 = 254.745 -> truncation
+  assert out[1] == 255
+
+
+def test_mirror_symmetrical():
+  assert kernel.mirror([1, 2, 3]) == [1, 2, 3, 2, 1]
+  # rows mirrored within and across: [(1,), (2,3)] -> [1],[2,3,2],[1]
+  assert kernel.symmetrical([(1,), (2, 3)]) == [1, 2, 3, 2, 1]
+
+
+def test_kernel_square():
+  taps = kernel.kernel_square(list(range(9)), n=3)
+  assert len(taps) == 9
+  assert taps[0] == ((-1, -1), 0)
+  assert taps[4] == ((0, 0), 4)
+
+
+def test_conv_identity():
+  img = np.random.default_rng(0).integers(
+      0, 255, (8, 10, 3)).astype(np.uint8)
+  taps = (((0, 0), 1),)
+  out = np.asarray(kernel.conv(img, taps))
+  assert np.array_equal(out, img)
+
+
+def test_conv_box_blur_constant():
+  img = np.full((8, 8, 3), 100, np.uint8)
+  taps = kernel.kernel_square([1] * 9, n=3)
+  out = np.asarray(kernel.conv(img, taps))
+  # clamped borders keep a constant image constant
+  assert np.array_equal(out, img)
+
+
+def test_conv_clamps_output():
+  img = np.full((4, 4, 3), 255, np.uint8)
+  taps = (((0, 0), 1),)
+  out = np.asarray(kernel.conv(img, taps))
+  assert out.max() == 255
