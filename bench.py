@@ -2,67 +2,75 @@
 
 Pipeline per frame set (mirrors reference bench/camera_isp.py:31-35):
 packed12 decode -> MHC demosaic -> EMA metering -> Reinhard tonemap -> u8,
-6 cameras x 4K (3840x2160), f16 working dtype, fused into one jitted step.
+6 cameras x 4K (3840x2160), f16 working dtype, fused planar pipeline.
+
+Timing methodology: K steps chained (metrics feed forward) inside ONE jit,
+finishing in a scalar checksum fetched to host — async dispatch and the
+axon tunnel cannot hide device time behind an unreliable
+block_until_ready.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-vs_baseline compares against the recorded single-thread CPU (JAX-CPU
-backend) throughput of this same fused pipeline on the dev machine —
-a stand-in for the reference's CPU-Taichi arch, which cannot run here
-(taichi is not installed; BASELINE.md notes the reference publishes no
-numbers). Target from BASELINE.json: >10x the CPU baseline.
+vs_baseline compares against the recorded JAX-CPU throughput of the same
+fused pipeline on the dev machine (single CPU core) — a stand-in for the
+reference's CPU-Taichi arch, which cannot run here (taichi not installed;
+the reference publishes no numbers, BASELINE.md).
 """
 
 import json
 import time
+from functools import partial
 
 import numpy as np
 
-# measured on this machine (2026-08-16): fused 6x4K f16 ISP step on the
-# JAX CPU backend — 0.78 frames/s (see BASELINE.md "build baselines")
+# measured on this machine (2026-08-16): fused 6x4K f16 planar ISP step on
+# the JAX CPU backend (see BASELINE.md "build baselines")
 CPU_BASELINE_FPS = 0.78
 
 N_CAMERAS = 6
 H, W = 2160, 3840
-WARMUP = 5
-ITERS = 30
+K = 10        # chained steps per jit call
+REPS = 3      # timed calls
 
 
 def main():
   import jax
   import jax.numpy as jnp
   from taichi_image_tpu import types
-  from taichi_image_tpu.models.camera_isp import _jit_fused_step
+  from taichi_image_tpu.models.camera_isp import fused_isp_step
   from taichi_image_tpu.ops.bayer import BayerPattern
   from taichi_image_tpu.ops.interpolate import ImageTransform
 
   rng = np.random.default_rng(0)
-  raws = jnp.asarray(rng.integers(0, 256,
-                                  size=(N_CAMERAS, H, W * 3 // 2),
-                                  dtype=np.uint8))
-  metrics = jnp.zeros(9, jnp.float32)
+  raws = jax.device_put(rng.integers(0, 256,
+                                     size=(N_CAMERAS, H, W * 3 // 2),
+                                     dtype=np.uint8))
 
-  def step(metrics, t):
-    return _jit_fused_step(
-        raws, metrics, t, jnp.float32(0.6), jnp.float32(1.0),
-        jnp.float32(1.0), jnp.float32(0.0),
-        "packed12", False, types.f16, BayerPattern.RGGB, None, None, 8,
-        ImageTransform.none, "reinhard")
+  @jax.jit
+  def steps(m, raws):
+    out = None
+    for i in range(K):
+      m, out = fused_isp_step(
+          raws ^ jnp.uint8(i & 1), m, jnp.float32(0.9), jnp.float32(0.6),
+          jnp.float32(1.0), jnp.float32(1.0), jnp.float32(0.0),
+          "packed12", False, types.f16, BayerPattern.RGGB, None, None, 8,
+          ImageTransform.none, "reinhard")
+    return m, jnp.sum(out, dtype=jnp.int32)
 
-  t0, t1 = jnp.float32(0.0), jnp.float32(0.9)
-  metrics, out = step(metrics, t0)
-  for _ in range(WARMUP):
-    metrics, out = step(metrics, t1)
-  jax.block_until_ready((metrics, out))
+  m0 = jnp.zeros(9, jnp.float32)
+  m, chk = steps(m0, raws)
+  _ = np.asarray(chk)  # warm compile + execute
 
-  start = time.perf_counter()
-  for _ in range(ITERS):
-    metrics, out = step(metrics, t1)
-  jax.block_until_ready((metrics, out))
-  elapsed = time.perf_counter() - start
+  best = None
+  for _ in range(REPS):
+    t0 = time.perf_counter()
+    m, chk = steps(m0, raws)
+    _ = np.asarray(chk)
+    el = time.perf_counter() - t0
+    best = el if best is None else min(best, el)
 
-  fps = ITERS * N_CAMERAS / elapsed
+  fps = K * N_CAMERAS / best
   print(json.dumps({
       "metric": "4K RGGB frames/sec/chip, full ISP (unpack->demosaic->tonemap)",
       "value": round(fps, 2),

@@ -34,6 +34,8 @@ import numpy as np
 from taichi_image_tpu import types
 from taichi_image_tpu.ops import bayer as bayer_ops
 from taichi_image_tpu.ops import interpolate, packed
+from taichi_image_tpu.ops.bayer import (cfa_phases, demosaic_phases,
+                                        phases_to_planar)
 from taichi_image_tpu.ops.color import rgb_gray
 from taichi_image_tpu.ops.interpolate import ImageTransform, _axis_samples
 from taichi_image_tpu.utils.bounds import lerp
@@ -388,14 +390,16 @@ class _ISPBase:
   def process(self, raws, fmt: str = "packed12", ids_format: bool = False,
               gamma: float = 1.0, intensity: float = 1.0,
               light_adapt: float = 1.0, color_adapt: float = 0.0,
-              tonemap: str = "reinhard"):
+              tonemap: str = "reinhard", layout: str = "planar"):
     """Fused whole-rig step: decode -> demosaic+WB/CCM -> resize ->
     metering EMA -> tonemap -> transform, in ONE jitted call over the
     camera batch. TPU-native extension (SURVEY.md §7 step 4); equivalent
     to load_* + tonemap_* but without host round-trips.
 
-    ``raws``: (n_cameras, H, W_bytes|W) batch. Returns u8 outputs
-    (n_cameras, h', w', 3) and updates the EMA state.
+    ``raws``: (n_cameras, H, W_bytes|W) batch. Returns u8 outputs and
+    updates the EMA state. ``layout``: 'planar' (default) returns the
+    TPU-native (n, 3, h', w') device array; 'hwc' returns a host numpy
+    (n, h', w', 3) view (one device->host transfer + free moveaxis).
     """
     raws = jnp.asarray(raws)
     if self.metrics is None:
@@ -412,6 +416,8 @@ class _ISPBase:
         self._cc_tuple(), self._resize_plan_key(raws, fmt),
         self.metering_stride, self.transform, tonemap)
     self.metrics = new_metrics
+    if layout == "hwc":
+      return np.moveaxis(np.asarray(out), 1, -1)
     return out
 
   def _resize_plan_key(self, raws, fmt):
@@ -444,31 +450,227 @@ def _jit_linear(batch, metrics, gamma, transform):
   return _transform_batch(out, transform)
 
 
+# --------------------------------------------------------------------------
+# Planar fast path (channels at axis -3; images planar/phase-planar).
+#
+# TPU tiled layouts pad the two minor dims; HWC images with C=3 minor
+# expand ~21-42x in memory and bandwidth (measured on v5e). The fused
+# pipeline therefore keeps everything planar: CFA phase planes ->
+# 12-channel phase-RGB -> tonemap -> planar (N, 3, H, W) u8. See
+# taichi_image_tpu/ops/bayer.py (planar section).
+# --------------------------------------------------------------------------
+
+
+def load_raw_phases(raws, fmt: str, work_dtype, ids_format: bool = False):
+  """Decode a batch of raw planes directly to normalized CFA *phase
+  planes* (N, 4, H/2, W/2) without materializing interleaved layouts.
+
+  packed12: the 3 byte planes b0/b1/b2 (lane stride 3) give the even and
+  odd CFA columns directly (reference bit layouts packed.py:12-55), and
+  row-parity slicing completes the phase split — planar ops only.
+  """
+  wd = types.canonical_dtype(work_dtype)
+  scale = types.scale_of(wd)
+  if fmt == "packed12":
+    b0 = raws[:, :, 0::3].astype(jnp.uint16)
+    b1 = raws[:, :, 1::3].astype(jnp.uint16)
+    b2 = raws[:, :, 2::3].astype(jnp.uint16)
+    if not ids_format:
+      even = ((b1 & 0xF) << 8) | b0
+      odd = (b2 << 4) | (b1 >> 4)
+    else:
+      even = (b0 << 4) | (b2 & 0xF)
+      odd = (b1 << 4) | (b2 >> 4)
+    phases = jnp.stack([even[:, 0::2], odd[:, 0::2],
+                        even[:, 1::2], odd[:, 1::2]], axis=1)
+    return (phases.astype(jnp.float32)
+            * jnp.float32(scale / 4095.0)).astype(wd)
+  if fmt == "packed16":
+    lo = raws[:, :, 0::2].astype(jnp.uint16)
+    hi = raws[:, :, 1::2].astype(jnp.uint16)
+    u16 = (hi << 8) | lo
+    phases = cfa_phases(u16)
+    return (phases.astype(jnp.float32)
+            * jnp.float32(scale / 65535.0)).astype(wd)
+  if fmt == "u16":
+    phases = cfa_phases(raws)
+    return (phases.astype(jnp.float32) / 65535.0).astype(wd)
+  if fmt in ("f32", "f16"):
+    return cfa_phases(raws).astype(wd)
+  raise ValueError(f"unknown raw format {fmt}")
+
+
+def metering_update_ca(x, prev, t, axis_name=None, n_total=None):
+  """EMA metering update with channels at axis -3 (planar layout).
+
+  Same numbers as :func:`metering_update` (reference camera_isp.py:142-166);
+  ``x`` is (N, 3, hs, ws) normalized float.
+  """
+  x = x.astype(jnp.float32)
+  bmin, bmax = jnp.min(x), jnp.max(x)
+  if axis_name is not None:
+    bmin = jax.lax.pmin(bmin, axis_name)
+    bmax = jax.lax.pmax(bmax, axis_name)
+  b = lerp(t, jnp.stack([bmin, bmax]), prev[:2])
+
+  scaled = (x - b[0]) / (b[1] - b[0] + 1e-6)
+  r, g, bch = scaled[:, 0], scaled[:, 1], scaled[:, 2]
+  gray = 0.299 * r + 0.587 * g + 0.114 * bch
+  log_gray = jnp.log(jnp.maximum(gray, 1e-4))
+
+  log_min, log_max = jnp.min(log_gray), jnp.max(log_gray)
+  sums = jnp.stack([jnp.sum(log_gray), jnp.sum(gray),
+                    jnp.sum(r), jnp.sum(g), jnp.sum(bch)])
+  if axis_name is not None:
+    log_min = jax.lax.pmin(log_min, axis_name)
+    log_max = jax.lax.pmax(log_max, axis_name)
+    sums = jax.lax.psum(sums, axis_name)
+  if n_total is None:
+    n_total = x.shape[0] * x.shape[2] * x.shape[3]
+  stats = jnp.concatenate([b, jnp.stack([log_min, log_max]),
+                           sums / n_total])
+  return lerp(t, stats, prev)
+
+
+def reinhard_apply_ca(x, metrics, gamma, intensity, light_adapt,
+                      color_adapt, work_dtype):
+  """ISP Reinhard with channels at axis -3 (works for planar (N,3,h,w)
+  and phase-form (N,4,3,hh,wh)). Same math as :func:`reinhard_apply`."""
+  m = metrics
+  key = (m[3] - m[4]) / (m[3] - m[2])
+  map_key = 0.3 + 0.7 * jnp.power(key, 1.4)
+  cdims = (1,) * (x.ndim - 3)
+  mean = lerp(color_adapt, m[5],
+              m[6:9].reshape(cdims + (3, 1, 1)))
+
+  xf = x.astype(jnp.float32)
+  scaled = (xf - m[0]) / (m[1] - m[0])
+  r, g, bch = (scaled[..., 0, :, :], scaled[..., 1, :, :],
+               scaled[..., 2, :, :])
+  gray = (0.299 * r + 0.587 * g + 0.114 * bch)[..., None, :, :]
+  adapt_color = lerp(color_adapt, gray, scaled)
+  adapt_mean = lerp(light_adapt, mean, adapt_color)
+  adapt = jnp.power(jnp.exp(-intensity) * adapt_mean, map_key)
+  p = scaled * (1.0 / (adapt + scaled))
+  # NaN-ignoring max (CUDA atomicMax semantics, camera_isp.py:213)
+  p = jnp.where(jnp.isnan(p), 0.0, p)
+  p_cast = p.astype(types.canonical_dtype(work_dtype))
+  axes = tuple(range(1, p.ndim))
+  max_out = jnp.maximum(1e-6, jnp.max(p, axis=axes,
+                                      keepdims=True))
+  out = jnp.power(p_cast.astype(jnp.float32) / max_out, 1.0 / gamma)
+  return jnp.clip(255.0 * out, 0, 255).astype(jnp.uint8)
+
+
+def linear_apply_ca(x, metrics, gamma):
+  """ISP linear tonemap, layout-agnostic elementwise."""
+  xf = x.astype(jnp.float32)
+  inv_range = 1.0 / (metrics[1] - metrics[0])
+  y = jnp.power(jnp.clip((xf - metrics[0]) * inv_range, 0.0, None),
+                1.0 / gamma)
+  return jnp.clip(jnp.clip(y, 0.0, 1.0) * 255.0, 0, 255).astype(jnp.uint8)
+
+
+def _resize_planar(images, size, scale, work_dtype):
+  """Bilinear resize on planar (N, 3, H, W) with reference sampling."""
+  h_in, w_in = images.shape[2], images.shape[3]
+  w_out, h_out = size
+  r_lo, r_hi, r_f = _axis_samples(h_out, h_in, scale)
+  c_lo, c_hi, c_f = _axis_samples(w_out, w_in, scale)
+  x = images.astype(jnp.float32)
+  top = jnp.take(x, jnp.asarray(r_lo), axis=2)
+  bot = jnp.take(x, jnp.asarray(r_hi), axis=2)
+  rows = top + jnp.asarray(r_f)[None, None, :, None] * (bot - top)
+  left = jnp.take(rows, jnp.asarray(c_lo), axis=3)
+  right = jnp.take(rows, jnp.asarray(c_hi), axis=3)
+  out = left + jnp.asarray(c_f)[None, None, None, :] * (right - left)
+  return out.astype(types.canonical_dtype(work_dtype))
+
+
+def _transform_planar(images, t: ImageTransform):
+  """ImageTransform on planar (N, C, H, W) spatial dims."""
+  if t == ImageTransform.none:
+    return images
+  x = images
+  if t == ImageTransform.rotate_90:
+    return jnp.rot90(x, k=-1, axes=(2, 3))
+  if t == ImageTransform.rotate_180:
+    return jnp.rot90(x, k=2, axes=(2, 3))
+  if t == ImageTransform.rotate_270:
+    return jnp.rot90(x, k=1, axes=(2, 3))
+  if t == ImageTransform.transpose:
+    return jnp.swapaxes(x, 2, 3)
+  if t == ImageTransform.flip_horiz:
+    return jnp.flip(x, axis=3)
+  if t == ImageTransform.flip_vert:
+    return jnp.flip(x, axis=2)
+  if t == ImageTransform.transverse:
+    return jnp.flip(jnp.swapaxes(x, 2, 3), axis=(2, 3))
+  raise ValueError(f"unknown transform {t}")
+
+
 def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
                    fmt, ids_format, work_dtype, pattern, cc, resize_plan,
                    stride, transform, tonemap, axis_name=None,
                    n_total=None):
   """The full per-frame ISP pipeline as a pure function (shardable).
 
-  When ``axis_name`` is given the camera batch axis is assumed sharded over
-  that mesh axis and metering completes with collectives.
+  Returns ``(new_metrics, planar u8 (N, 3, h', w'))``. The pipeline is
+  planar throughout (see module note); convert to HWC at the API boundary
+  with ``np.moveaxis(out, 1, -1)`` on host, which is a free view.
+
+  When ``axis_name`` is given the camera batch axis is assumed sharded
+  over that mesh axis and metering completes with collectives.
   """
-  cfa = load_raw(raws, fmt, work_dtype, ids_format)
-  rgb = bayer_ops.bayer_to_rgb_batch(cfa, pattern, correct_colors=cc)
+  phases = load_raw_phases(raws, fmt, work_dtype, ids_format)
+  x12 = demosaic_phases(phases, pattern, cc=cc,
+                        out_dtype=types.canonical_dtype(work_dtype))
+
   if resize_plan is not None:
     size, scale = resize_plan
-    rgb = _resize_batch(rgb, size, scale, work_dtype)
-  strided = rgb[:, ::stride, ::stride, :]
-  new_metrics = metering_update(strided, prev, t, axis_name=axis_name,
-                                n_total=n_total)
-  if tonemap == "reinhard":
-    out = reinhard_apply(rgb, new_metrics, gamma, intensity, light_adapt,
-                         color_adapt, work_dtype)
-  elif tonemap == "linear":
-    out = linear_apply(rgb, new_metrics, gamma)
+    planar = phases_to_planar(x12, types.canonical_dtype(work_dtype))
+    rgb = _resize_planar(planar, size, scale, work_dtype)
+    strided = rgb[:, :, ::stride, ::stride]
+    new_metrics = metering_update_ca(strided, prev, t, axis_name=axis_name,
+                                     n_total=n_total)
+    if tonemap == "reinhard":
+      out = reinhard_apply_ca(rgb, new_metrics, gamma, intensity,
+                              light_adapt, color_adapt, work_dtype)
+    elif tonemap == "linear":
+      out = linear_apply_ca(rgb, new_metrics, gamma)
+    else:
+      raise ValueError(f"unknown tonemap {tonemap}")
+  elif stride % 2 != 0:
+    # odd metering stride: fall back to assembling planar first
+    rgb = phases_to_planar(x12, types.canonical_dtype(work_dtype))
+    strided = rgb[:, :, ::stride, ::stride]
+    new_metrics = metering_update_ca(strided, prev, t, axis_name=axis_name,
+                                     n_total=n_total)
+    if tonemap == "reinhard":
+      out = reinhard_apply_ca(rgb, new_metrics, gamma, intensity,
+                              light_adapt, color_adapt, work_dtype)
+    else:
+      out = linear_apply_ca(rgb, new_metrics, gamma)
   else:
-    raise ValueError(f"unknown tonemap {tonemap}")
-  return new_metrics, _transform_batch(out, transform)
+    n, _, hh, wh = x12.shape
+    # full-res stride-8 pixels are exactly phase (0,0) at half-res stride 4
+    strided = x12[:, 0:3, ::stride // 2, ::stride // 2]
+    new_metrics = metering_update_ca(strided, prev, t, axis_name=axis_name,
+                                     n_total=n_total)
+    if tonemap == "reinhard":
+      out12 = reinhard_apply_ca(x12.reshape(n, 4, 3, hh, wh), new_metrics,
+                                gamma, intensity, light_adapt, color_adapt,
+                                work_dtype)
+    elif tonemap == "linear":
+      out12 = linear_apply_ca(x12.reshape(n, 4, 3, hh, wh), new_metrics,
+                              gamma)
+    else:
+      raise ValueError(f"unknown tonemap {tonemap}")
+    # u8 values are exact in f32, and the interleave conv is one-hot, so
+    # assembling after the cast is lossless
+    out = phases_to_planar(out12.reshape(n, 12, hh, wh),
+                           jnp.float32).astype(jnp.uint8)
+  return new_metrics, _transform_planar(out, transform)
 
 
 @partial(jax.jit, static_argnames=(

@@ -210,6 +210,137 @@ def _demosaic_tables(pattern: BayerPattern, method: str):
   return _phase_conv_weights(kernels)
 
 
+@cache
+def _interleave_table():
+  """One-hot (3, 12, 2, 2) kernel assembling full-res planar RGB from the
+  12-channel phase output via a stride-2 transposed convolution."""
+  k = np.zeros((3, 12, 2, 2), np.float32)
+  for p, (dy, dx) in enumerate(_PHASE_PARITY):
+    for c in range(3):
+      k[c, p * 3 + c, 1 - dy, 1 - dx] = 1.0
+  return k
+
+
+# ---------------------------------------------------------------------------
+# Planar phase-plane pipeline (the TPU-fast path).
+#
+# TPU layouts tile the two minor dimensions (sublanes x 128 lanes); any
+# array with a tiny minor dimension (RGB channels = 3, camera batch = 6)
+# pads catastrophically (measured 21x memory/bandwidth expansion on v5e).
+# The fast path therefore keeps images PLANAR end to end:
+#   CFA phase planes (N, 4, H/2, W/2) -> demosaic -> (N, 12, H/2, W/2)
+#   (4 output phases x RGB) -> tonemap in phase form -> planar u8.
+# Interleaved HWC exists only at API boundaries.
+# ---------------------------------------------------------------------------
+
+
+def cfa_phases(cfa):
+  """(N, H, W) CFA -> (N, 4, H/2, W/2) phase planes, in-phase order
+  (row%2)*2 + col%2. Strided slices only — no minor-dim reshapes."""
+  return jnp.stack([cfa[:, 0::2, 0::2], cfa[:, 0::2, 1::2],
+                    cfa[:, 1::2, 0::2], cfa[:, 1::2, 1::2]], axis=1)
+
+
+def _edge_renorm(x, weights, hh, wh):
+  """Rescale the one-pixel border strips of interior-normalized (num/16)
+  phase output to the exact dropped-tap divisors. Corner entries of the
+  column factors are 1: the row factors already applied the full corner
+  divisor."""
+  full, top, bottom, left, right = _edge_sums(weights, hh, wh)
+  interior = full[:, None]
+  ft = jnp.asarray(interior / top, jnp.float32)
+  fb = jnp.asarray(interior / bottom, jnp.float32)
+  gl = interior / left
+  gr = interior / right
+  gl[:, 0] = gl[:, -1] = 1.0
+  gr[:, 0] = gr[:, -1] = 1.0
+  x = x.at[:, :, 0, :].mul(ft[None])
+  x = x.at[:, :, -1, :].mul(fb[None])
+  x = x.at[:, :, :, 0].mul(jnp.asarray(gl, jnp.float32)[None])
+  x = x.at[:, :, :, -1].mul(jnp.asarray(gr, jnp.float32)[None])
+  return x
+
+
+def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",
+                    out_dtype=jnp.float32, backend="auto"):
+  """Demosaic normalized phase planes (N, 4, hh, wh) float -> clamped
+  (N, 12, hh, wh) phase-RGB in [0, 1].
+
+  Same math as the reference stencil (bayer.py:137-155) with exact border
+  renormalization; the 12-channel layout is out_phase*3 + rgb with phases
+  ordered (0,0), (1,0), (0,1), (1,1) in (row, col) parity.
+
+  ``backend``: 'auto' uses the Pallas TPU stencil kernel when available
+  (ops/pallas/demosaic.py — avoids XLA's pathologically padded conv
+  layouts), else the XLA conv; 'xla' / 'pallas' force a path.
+  """
+  n, _, hh, wh = phases.shape
+  weights = _demosaic_tables(pattern, method)
+
+  from taichi_image_tpu.ops.pallas import demosaic as pallas_dm
+  use_pallas = backend == "pallas" or (
+      backend == "auto" and pallas_dm.pallas_available(hh, wh))
+
+  if use_pallas:
+    tiles = pallas_dm.tiling_for(hh, wh)
+    assert tiles is not None, f"no pallas tiling for {(hh, wh)}"
+    num16 = pallas_dm.demosaic_stencil(phases.astype(jnp.float32), weights,
+                                       *tiles)
+    out = _edge_renorm(num16, weights, hh, wh)
+  elif hh >= 2 and wh >= 2:
+    num = jax.lax.conv_general_dilated(
+        phases.astype(jnp.float32), jnp.asarray(weights), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    full, top, bottom, left, right = _edge_sums(weights, hh, wh)
+    out = num * jnp.asarray(1.0 / full, jnp.float32)[None, :, None, None]
+    inv = lambda d: jnp.asarray(1.0 / d, jnp.float32)
+    out = out.at[:, :, 0, :].set(num[:, :, 0, :] * inv(top)[None])
+    out = out.at[:, :, -1, :].set(num[:, :, -1, :] * inv(bottom)[None])
+    out = out.at[:, :, :, 0].set(num[:, :, :, 0] * inv(left)[None])
+    out = out.at[:, :, :, -1].set(num[:, :, :, -1] * inv(right)[None])
+  else:
+    num = jax.lax.conv_general_dilated(
+        phases.astype(jnp.float32), jnp.asarray(weights), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    ones = jnp.ones((1, 4, hh, wh), jnp.float32)
+    denom = jax.lax.conv_general_dilated(
+        ones, jnp.asarray(weights), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    out = num / denom
+  if cc is not None:
+    ccm = jnp.asarray(np.array(cc, np.float32).reshape(3, 3))
+    x = out.reshape(n, 4, 3, hh, wh)
+    x = jnp.einsum("npchw,dc->npdhw", x, ccm,
+                   precision=jax.lax.Precision.HIGHEST)
+    out = x.reshape(n, 12, hh, wh)
+  return jnp.clip(out, 0.0, 1.0).astype(out_dtype)
+
+
+def phases_to_planar(x12, dtype=None):
+  """(N, 12, hh, wh) phase-RGB -> full-res planar (N, 3, H, W) via a
+  one-hot stride-2 transposed convolution (exact)."""
+  out = jax.lax.conv_general_dilated(
+      x12.astype(jnp.float32), jnp.asarray(_interleave_table()), (1, 1),
+      ((1, 1), (1, 1)), lhs_dilation=(2, 2),
+      dimension_numbers=("NCHW", "OIHW", "NCHW"),
+      precision=jax.lax.Precision.HIGHEST)
+  return out.astype(dtype or x12.dtype)
+
+
+def planar_to_phases(planar):
+  """(N, 3, H, W) planar -> (N, 12, hh, wh) phase-RGB (inverse of
+  :func:`phases_to_planar`)."""
+  n, _, h, w = planar.shape
+  parts = []
+  for dy, dx in _PHASE_PARITY:
+    parts.append(planar[:, :, dy::2, dx::2])
+  return jnp.concatenate(parts, axis=1)
+
+
 @partial(jax.jit, static_argnames=(
     "pattern", "correct_colors", "in_dtype", "out_dtype", "method"))
 def _bayer_to_rgb(cfa, pattern, correct_colors, in_dtype, out_dtype, method):

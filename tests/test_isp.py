@@ -205,7 +205,7 @@ def test_fused_step_matches_composed_path():
   out_composed = composed.tonemap_reinhard(images, gamma=0.8, intensity=2.0)
 
   fused = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.2)
-  out_fused = fused.process(raws, gamma=0.8, intensity=2.0)
+  out_fused = fused.process(raws, gamma=0.8, intensity=2.0, layout="hwc")
 
   np.testing.assert_allclose(np.asarray(fused.metrics),
                              np.asarray(composed.metrics), atol=1e-5)
@@ -216,7 +216,7 @@ def test_fused_step_matches_composed_path():
 
   # second frame exercises the EMA path
   out2_c = composed.tonemap_reinhard(images, gamma=0.8, intensity=2.0)
-  out2_f = fused.process(raws, gamma=0.8, intensity=2.0)
+  out2_f = fused.process(raws, gamma=0.8, intensity=2.0, layout="hwc")
   np.testing.assert_allclose(np.asarray(fused.metrics),
                              np.asarray(composed.metrics), atol=1e-5)
   assert np.abs(np.asarray(out2_f[0]).astype(int)
@@ -229,7 +229,9 @@ def test_fused_step_with_resize_and_transform():
   isp = Camera32(bayer.BayerPattern.RGGB, resize_width=48,
                  transform=ImageTransform.rotate_90)
   out = np.asarray(isp.process(raws))
-  assert out.shape == (2, 48, 32, 3)
+  assert out.shape == (2, 3, 48, 32)  # planar (n, c, h, w)
+  out_hwc = isp.process(raws, layout="hwc")
+  assert out_hwc.shape == (2, 48, 32, 3)
 
 
 def test_fused_linear():

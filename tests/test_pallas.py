@@ -1,0 +1,48 @@
+"""Pallas demosaic kernel logic tests (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from taichi_image_tpu.ops import bayer
+from taichi_image_tpu.ops.pallas import demosaic as pallas_dm
+
+
+@pytest.mark.parametrize("method", ["mhc", "bilinear"])
+@pytest.mark.parametrize("pattern", [bayer.BayerPattern.RGGB,
+                                     bayer.BayerPattern.BGGR])
+def test_stencil_matches_conv(pattern, method, rng):
+  hh, wh = 16, 128
+  phases = jnp.asarray(rng.random((2, 4, hh, wh), np.float32))
+  weights = bayer._demosaic_tables(pattern, method)
+
+  tiles = pallas_dm.tiling_for(hh, wh)
+  assert tiles is not None
+  num = pallas_dm.demosaic_stencil(phases, weights, *tiles, interpret=True)
+  got = np.asarray(jnp.clip(
+      bayer._edge_renorm(num, weights, hh, wh), 0, 1))
+
+  want = np.asarray(bayer.demosaic_phases(phases, pattern, method=method,
+                                          backend="xla"))
+  np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_tiling_for():
+  assert pallas_dm.tiling_for(1080, 1920) == (120, 640)
+  assert pallas_dm.tiling_for(16, 128) is not None
+  assert pallas_dm.tiling_for(15, 128) is None   # rows not tileable by 8
+  assert pallas_dm.tiling_for(16, 100) is None   # cols not 128-divisible
+
+
+def test_pallas_not_used_on_cpu():
+  # tests run on the CPU backend; auto must select the XLA path
+  assert not pallas_dm.pallas_available(1080, 1920)
+
+
+def test_backend_param_equivalence(rng):
+  phases = jnp.asarray(rng.random((1, 4, 16, 128), np.float32))
+  a = np.asarray(bayer.demosaic_phases(phases, bayer.BayerPattern.RGGB,
+                                       backend="xla"))
+  b = np.asarray(bayer.demosaic_phases(phases, bayer.BayerPattern.RGGB,
+                                       backend="auto"))
+  np.testing.assert_array_equal(a, b)

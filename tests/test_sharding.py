@@ -90,7 +90,7 @@ def test_sharded_with_resize_transform():
   m, out = step(shard_cameras(jnp.asarray(raws), mesh), prev,
                 jnp.float32(0.0), jnp.float32(1.0), jnp.float32(1.0),
                 jnp.float32(1.0), jnp.float32(0.0))
-  assert out.shape == (4, 48, 32, 3)
+  assert out.shape == (4, 3, 48, 32)
 
 
 def test_output_sharding_layout():
