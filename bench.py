@@ -25,8 +25,8 @@ from functools import partial
 import numpy as np
 
 # measured on this machine (2026-08-16): fused 6x4K f16 planar ISP step on
-# the JAX CPU backend (see BASELINE.md "build baselines")
-CPU_BASELINE_FPS = 0.78
+# the JAX CPU backend, 1 core (see BASELINE.md "build baselines")
+CPU_BASELINE_FPS = 0.93
 
 N_CAMERAS = 6
 H, W = 2160, 3840

@@ -25,6 +25,7 @@ C-style truncation.
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +35,7 @@ from taichi_image_tpu import types
 
 __all__ = [
     "encode12", "decode12", "decode16", "encode16",
-    "encode12_pairs", "decode12_pairs",
+    "encode12_pairs", "decode12_pairs", "PackedMono12",
 ]
 
 
@@ -154,6 +155,44 @@ def decode16(values, dtype=types.u16, scaled: bool = False,
   out_dtype = types.canonical_dtype(dtype)
   decoded = _decode16(jnp.asarray(values), scaled, out_dtype)
   return decoded.reshape(shape[:-1] + (shape[-1] // 2,))
+
+
+class PackedMono12:
+  """Random-access view over a packed 12-bit mono buffer.
+
+  Reference packed.py:213-227 (``PackedMono12`` ti.field wrapper with a
+  per-pixel ``__getitem__`` decode). Here indexing accepts scalars or
+  numpy-style index arrays and decodes only the touched byte triples —
+  vectorized gather instead of a per-pixel device function.
+  """
+
+  def __init__(self, packed, width: Optional[int] = None):
+    packed = jnp.asarray(packed)
+    assert types.canonical_dtype(packed.dtype) == types.u8
+    if packed.ndim == 1:
+      assert width is not None, "width required for flat buffers"
+      packed = packed.reshape(-1, width * 3 // 2)
+    assert packed.ndim == 2 and packed.shape[1] % 3 == 0
+    self.packed = packed
+    self.shape = (packed.shape[0], packed.shape[1] * 2 // 3)
+
+  def __getitem__(self, idx):
+    """value(s) at (row, col); ``row``/``col`` may be arrays."""
+    row, col = idx
+    row = jnp.asarray(row)
+    col = jnp.asarray(col)
+    base = (col // 2) * 3
+    b0 = self.packed[row, base]
+    b1 = self.packed[row, base + 1]
+    b2 = self.packed[row, base + 2]
+    p0, p1 = decode12_pairs(b0, b1, b2)
+    return jnp.where(col % 2 == 0, p0, p1)
+
+  def decode(self, dtype=types.u16, scaled: bool = False,
+             ids_format: bool = False):
+    """Full-frame decode to (H, W)."""
+    return decode12(self.packed, dtype=dtype, scaled=scaled,
+                    ids_format=ids_format)
 
 
 def encode16(values, scaled: bool = False):

@@ -73,3 +73,34 @@ def test_conv_clamps_output():
   taps = (((0, 0), 1),)
   out = np.asarray(kernel.conv(img, taps))
   assert out.max() == 255
+
+
+def test_packed_mono12_random_access(rng):
+  from taichi_image_tpu.ops.packed import PackedMono12, encode12
+  img = rng.integers(0, 2 ** 12, size=(8, 12)).astype(np.uint16)
+  packed = np.asarray(encode12(img))
+  view = PackedMono12(packed)
+  assert view.shape == (8, 12)
+  rows = np.repeat(np.arange(8), 12)
+  cols = np.tile(np.arange(12), 8)
+  got = np.asarray(view[rows, cols]).reshape(8, 12)
+  assert np.array_equal(got, img)
+  # full decode matches
+  assert np.array_equal(np.asarray(view.decode()), img)
+
+
+def test_psnr_util():
+  from taichi_image_tpu.utils.image import mse, psnr
+  a = np.zeros((4, 4), np.uint8)
+  b = np.full((4, 4), 16, np.uint8)
+  assert abs(psnr(a, b) - 10 * np.log10(255 ** 2 / 256)) < 1e-6
+  assert psnr(a, a) == float("inf")
+  assert mse(a, b) == 256.0
+
+
+def test_stage_timer():
+  from taichi_image_tpu.utils.profiling import stage_timer
+  stats = {}
+  with stage_timer(stats, "x"):
+    pass
+  assert "x" in stats and stats["x"] >= 0
