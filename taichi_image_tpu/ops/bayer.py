@@ -344,56 +344,18 @@ def planar_to_phases(planar):
 @partial(jax.jit, static_argnames=(
     "pattern", "correct_colors", "in_dtype", "out_dtype", "method"))
 def _bayer_to_rgb(cfa, pattern, correct_colors, in_dtype, out_dtype, method):
-  """Demosaic a batch of CFA images (N, H, W) -> (N, H, W, 3)."""
+  """Demosaic a batch of CFA images (N, H, W) -> (N, H, W, 3) via the
+  planar phase-plane core (demosaic_phases), assembling interleaved HWC
+  only at the end."""
   n, h, w = cfa.shape
-  hh, wh = h // 2, w // 2
-  weights = _demosaic_tables(pattern, method)  # (12, 4, 3, 3) np
-
-  # Phase planes as conv input channels: (N, 4, H/2, W/2).
-  x = cfa.reshape(n, hh, 2, wh, 2).transpose(0, 2, 4, 1, 3)
-  x = x.reshape(n, 4, hh, wh).astype(jnp.float32)
-
-  num = jax.lax.conv_general_dilated(
-      x, jnp.asarray(weights),
-      window_strides=(1, 1),
-      padding=((1, 1), (1, 1)),
-      dimension_numbers=("NCHW", "OIHW", "NCHW"),
-      precision=jax.lax.Precision.HIGHEST,
-      preferred_element_type=jnp.float32)  # (N, 12, hh, wh)
-
   in_scale = types.scale_of(in_dtype)
-  if hh >= 2 and wh >= 2:
-    full, top, bottom, left, right = _edge_sums(weights, hh, wh)
-    out = num * jnp.asarray(1.0 / (full * in_scale),
-                            jnp.float32)[None, :, None, None]
-    inv = lambda d: jnp.asarray(1.0 / (d * in_scale), jnp.float32)
-    out = out.at[:, :, 0, :].set(num[:, :, 0, :] * inv(top)[None])
-    out = out.at[:, :, -1, :].set(num[:, :, -1, :] * inv(bottom)[None])
-    out = out.at[:, :, :, 0].set(num[:, :, :, 0] * inv(left)[None])
-    out = out.at[:, :, :, -1].set(num[:, :, :, -1] * inv(right)[None])
-  else:
-    # Degenerate tiny images: materialize the full denominator.
-    ones = jnp.ones((1, 4, hh, wh), jnp.float32)
-    denom = jax.lax.conv_general_dilated(
-        ones, jnp.asarray(weights), (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    out = num / (denom * in_scale)
-
-  # (N, 12, hh, wh) -> (N, 4, 3, hh, wh), phases in (row, col)-parity order
-  # (0,0), (1,0), (0,1), (1,1) -> reorder to row-parity-major for reshape.
-  out = out.reshape(n, 4, 3, hh, wh)
-  out = out[:, jnp.array([0, 2, 1, 3]), ...]  # -> (0,0), (0,1), (1,0), (1,1)
-  out = out.reshape(n, 2, 2, 3, hh, wh)       # (N, dy, dx, c, i, j)
-  out = out.transpose(0, 4, 1, 5, 2, 3)        # (N, i, dy, j, dx, c)
-  rgb = out.reshape(n, h, w, 3)
-
-  if correct_colors is not None:
-    cc = jnp.asarray(np.array(correct_colors, np.float32).reshape(3, 3))
-    rgb = jnp.einsum("nhwc,dc->nhwd", rgb, cc,
-                     precision=jax.lax.Precision.HIGHEST,
-                     preferred_element_type=jnp.float32)
-
-  rgb = jnp.clip(rgb, 0.0, 1.0)
+  phases = cfa_phases(cfa).astype(jnp.float32)
+  if in_scale != 1.0:
+    phases = phases / jnp.float32(in_scale)
+  x12 = demosaic_phases(phases, pattern, cc=correct_colors, method=method,
+                        out_dtype=jnp.float32)
+  planar = phases_to_planar(x12, jnp.float32)
+  rgb = planar.transpose(0, 2, 3, 1)
   return types.from_float(rgb, out_dtype)
 
 
