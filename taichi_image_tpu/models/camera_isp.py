@@ -337,6 +337,19 @@ class _ISPBase:
     cfa = load_raw(jnp.asarray(image)[None], "f32", self._work_dtype)
     return self._process_batch(cfa)[0]
 
+  # -- state checkpoint/resume ----------------------------------------------
+  # The EMA metering vec9 is the only cross-frame state
+  # (reference camera_isp.py:267,376-385; SURVEY.md §5 checkpoint/resume).
+
+  def state_dict(self):
+    """Serializable pipeline state (numpy)."""
+    return {"metrics": None if self.metrics is None
+            else np.asarray(self.metrics)}
+
+  def load_state(self, state):
+    m = state.get("metrics")
+    self.metrics = None if m is None else jnp.asarray(m, jnp.float32)
+
   # -- metering ------------------------------------------------------------
 
   def update_metering(self, images: List):
@@ -533,9 +546,11 @@ def metering_update_ca(x, prev, t, axis_name=None, n_total=None):
 
 
 def reinhard_apply_ca(x, metrics, gamma, intensity, light_adapt,
-                      color_adapt, work_dtype):
+                      color_adapt, work_dtype, axis_name=None):
   """ISP Reinhard with channels at axis -3 (works for planar (N,3,h,w)
-  and phase-form (N,4,3,hh,wh)). Same math as :func:`reinhard_apply`."""
+  and phase-form (N,4,3,hh,wh)). Same math as :func:`reinhard_apply`.
+  ``axis_name``: mesh axis holding spatial shards of each image — the
+  per-image max becomes a pmax collective."""
   m = metrics
   key = (m[3] - m[4]) / (m[3] - m[2])
   map_key = 0.3 + 0.7 * jnp.power(key, 1.4)
@@ -556,8 +571,10 @@ def reinhard_apply_ca(x, metrics, gamma, intensity, light_adapt,
   p = jnp.where(jnp.isnan(p), 0.0, p)
   p_cast = p.astype(types.canonical_dtype(work_dtype))
   axes = tuple(range(1, p.ndim))
-  max_out = jnp.maximum(1e-6, jnp.max(p, axis=axes,
-                                      keepdims=True))
+  max_out = jnp.max(p, axis=axes, keepdims=True)
+  if axis_name is not None:
+    max_out = jax.lax.pmax(max_out, axis_name)
+  max_out = jnp.maximum(1e-6, max_out)
   out = jnp.power(p_cast.astype(jnp.float32) / max_out, 1.0 / gamma)
   return jnp.clip(255.0 * out, 0, 255).astype(jnp.uint8)
 

@@ -1,0 +1,95 @@
+"""Spatial (row-sharded) processing tests on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from taichi_image_tpu import types
+from taichi_image_tpu.models.camera_isp import Camera32
+from taichi_image_tpu.ops import bayer, packed
+from taichi_image_tpu.ops.bayer import cfa_phases, demosaic_phases
+from taichi_image_tpu.parallel import spatial
+from conftest import make_test_rgb
+from oracle import rgb_to_bayer_oracle
+
+
+def _mesh(n):
+  return Mesh(np.array(jax.devices()[:n]), (spatial.ROW_AXIS,))
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_spatial_demosaic_matches_single(n_dev):
+  img = make_test_rgb(64, 96)
+  cfa = rgb_to_bayer_oracle(img, "RGGB")[None]
+  phases = cfa_phases(jnp.asarray(cfa)).astype(jnp.float32)
+
+  want = np.asarray(demosaic_phases(phases, bayer.BayerPattern.RGGB))
+  mesh = _mesh(n_dev)
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  sharded = jax.device_put(phases,
+                           NamedSharding(mesh, P(None, None,
+                                                 spatial.ROW_AXIS, None)))
+  got = np.asarray(spatial.demosaic_phases_spatial(
+      sharded, mesh, bayer.BayerPattern.RGGB))
+  np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_spatial_demosaic_with_cc():
+  img = make_test_rgb(32, 64)
+  cfa = rgb_to_bayer_oracle(img, "RGGB")[None]
+  phases = cfa_phases(jnp.asarray(cfa)).astype(jnp.float32)
+  cc = tuple(np.array([[1.5, -0.2, -0.3], [-0.1, 1.2, -0.1],
+                       [0.0, -0.4, 1.4]], np.float32).flatten().tolist())
+  want = np.asarray(demosaic_phases(phases, bayer.BayerPattern.RGGB, cc=cc))
+  mesh = _mesh(2)
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  sharded = jax.device_put(phases,
+                           NamedSharding(mesh, P(None, None,
+                                                 spatial.ROW_AXIS, None)))
+  got = np.asarray(spatial.demosaic_phases_spatial(
+      sharded, mesh, bayer.BayerPattern.RGGB, cc=cc))
+  np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_spatial_isp_step_matches_unsharded(n_dev):
+  h, w = 64, 96
+  raws = []
+  for s in range(2):
+    img = make_test_rgb(h, w, seed=s)
+    cfa = rgb_to_bayer_oracle(img, "RGGB")
+    raws.append(np.asarray(packed.encode12(cfa, scaled=True)))
+  raws = np.stack(raws)
+
+  ref = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.2)
+  ref_out = ref.process(raws, gamma=0.8, intensity=2.0)
+
+  mesh = _mesh(n_dev)
+  step = spatial.make_spatial_isp_step(
+      mesh, work_dtype=types.f32, pattern=bayer.BayerPattern.RGGB,
+      n_cameras=2, image_hw=(h, w))
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  raws_s = jax.device_put(jnp.asarray(raws),
+                          NamedSharding(mesh, P(None, spatial.ROW_AXIS)))
+  prev = jax.device_put(jnp.zeros(9, jnp.float32),
+                        NamedSharding(mesh, P()))
+  metrics, out = step(raws_s, prev, jnp.float32(0.0), jnp.float32(0.8),
+                      jnp.float32(2.0), jnp.float32(1.0), jnp.float32(0.0))
+
+  np.testing.assert_allclose(np.asarray(metrics), np.asarray(ref.metrics),
+                             atol=1e-5)
+  diff = np.abs(np.asarray(out).astype(int) -
+                np.asarray(ref_out).astype(int))
+  assert diff.max() <= 1
+  assert (diff > 0).mean() < 0.01
+
+
+def test_spatial_alignment_asserted():
+  mesh = _mesh(8)
+  with pytest.raises(AssertionError):
+    spatial.make_spatial_isp_step(
+        mesh, work_dtype=types.f32, pattern=bayer.BayerPattern.RGGB,
+        n_cameras=1, image_hw=(60, 96))  # 60/8 not multiple of 8
