@@ -41,7 +41,8 @@ from taichi_image_tpu.ops.interpolate import ImageTransform, _axis_samples
 from taichi_image_tpu.utils.bounds import lerp
 
 __all__ = ["camera_isp", "Camera16", "Camera32", "CameraBF16",
-           "moving_average", "default_cc"]
+           "moving_average", "default_cc", "metering_update",
+           "reinhard_apply", "linear_apply", "fused_isp_step"]
 
 
 def moving_average(old, new, alpha):
@@ -301,6 +302,23 @@ class _ISPBase:
     if self.scale is not None:
       return (round(w * self.scale), round(h * self.scale)), self.scale
     return None
+
+  def resize_image(self, image):
+    """Apply the rig's resize policy to one RGB image
+    (reference camera_isp.py:302-315)."""
+    plan = self._resize_plan(image.shape[0], image.shape[1])
+    if plan is None:
+      return jnp.asarray(image)
+    size, scale = plan
+    return interpolate.resize_bilinear(image, size, scale)
+
+  def metering_images(self, images: List, t: float, prev, stride: int = 8):
+    """One metering update over strided crops (reference
+    camera_isp.py:168-175); functional — returns the new vec9."""
+    batch = jnp.stack([jnp.asarray(im)[::stride, ::stride, :]
+                       for im in images])
+    return _jit_metering(batch, jnp.asarray(prev, jnp.float32),
+                         jnp.float32(t))
 
   # -- loaders (single image, reference API) ------------------------------
 

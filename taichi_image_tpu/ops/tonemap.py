@@ -29,7 +29,7 @@ from taichi_image_tpu.utils.bounds import Bounds, lerp
 
 __all__ = [
     "Metering", "metering_to_np", "metering_from_np",
-    "tonemap_linear", "tonemap_reinhard",
+    "tonemap_linear", "tonemap_reinhard", "tonemap_gamma",
     "linear_map", "metering", "reinhard_map",
 ]
 
@@ -141,3 +141,16 @@ def tonemap_reinhard(src, gamma=1.0, intensity=1.0, light_adapt=1.0,
   return _tonemap_reinhard(jnp.asarray(src), jnp.float32(gamma),
                            jnp.float32(intensity), jnp.float32(light_adapt),
                            jnp.float32(color_adapt), in_dtype, out_dtype)
+
+
+@partial(jax.jit, static_argnames=("out_dtype",))
+def _tonemap_gamma(src, gamma, out_dtype):
+  x = jnp.power(src.astype(jnp.float32), 1.0 / gamma)
+  return types.from_float(jnp.clip(x, 0.0, 1.0), out_dtype)
+
+
+def tonemap_gamma(src, gamma=1.0, dtype=types.u8):
+  """Gamma-only map (reference ``gamma_func``, tonemap.py:20-24 — unused
+  by the reference pipeline but part of its op surface)."""
+  return _tonemap_gamma(jnp.asarray(src), jnp.float32(gamma),
+                        types.canonical_dtype(dtype))

@@ -121,3 +121,19 @@ def from_float(x: jnp.ndarray, dtype: DTypeLike, clip: bool = True) -> jnp.ndarr
   if clip and not is_float_dtype(dt):
     x = jnp.clip(x, 0, s)
   return x.astype(dt)
+
+
+def empty_like(in_arr, shape=None, dtype=None):
+  """Allocate an uninitialized numpy array like ``in_arr``
+  (reference types.py:70-78; numpy-only — ops are pure functions that
+  allocate their own outputs, this exists for API compatibility)."""
+  shape = in_arr.shape if shape is None else shape
+  dt = dtype_of(in_arr) if dtype is None else canonical_dtype(dtype)
+  return np.empty(shape, dt)
+
+
+def zeros_like(in_arr, shape=None, dtype=None):
+  """Reference types.py:81-91 (numpy-only)."""
+  shape = in_arr.shape if shape is None else shape
+  dt = dtype_of(in_arr) if dtype is None else canonical_dtype(dtype)
+  return np.zeros(shape, dt)

@@ -256,3 +256,50 @@ def test_camera_bf16():
 def test_moving_average_helper():
   assert isp_mod.moving_average(None, 5.0, 0.1) == 5.0
   assert isp_mod.moving_average(0.0, 10.0, 0.1) == pytest.approx(1.0)
+
+
+def test_resize_image_method():
+  isp = Camera32(bayer.BayerPattern.RGGB, resize_width=48)
+  img = make_test_rgb(64, 96)
+  out = np.asarray(isp.resize_image(img))
+  assert out.shape == (32, 48, 3)
+  isp2 = Camera32(bayer.BayerPattern.RGGB)
+  np.testing.assert_array_equal(np.asarray(isp2.resize_image(img)), img)
+
+
+def test_metering_images_functional():
+  isp = Camera32(bayer.BayerPattern.RGGB)
+  imgs = [make_test_rgb(32, 32, seed=s) for s in range(2)]
+  m = np.asarray(isp.metering_images(imgs, 0.0, np.zeros(9, np.float32)))
+  assert m.shape == (9,)
+  assert isp.metrics is None  # functional: does not mutate the EMA state
+
+
+def test_state_dict_roundtrip():
+  raw, _ = load_test_image()
+  isp = Camera32(bayer.BayerPattern.RGGB)
+  isp.process(np.stack([raw]))
+  state = isp.state_dict()
+  isp2 = Camera32(bayer.BayerPattern.RGGB)
+  isp2.load_state(state)
+  np.testing.assert_array_equal(np.asarray(isp2.metrics),
+                                np.asarray(isp.metrics))
+  # fresh pipelines report empty state
+  assert Camera32(bayer.BayerPattern.RGGB).state_dict()["metrics"] is None
+
+
+def test_tonemap_gamma():
+  from taichi_image_tpu.ops.tonemap import tonemap_gamma
+  src = make_test_rgb(16, 16)
+  out = np.asarray(tonemap_gamma(src, gamma=2.0))
+  want = np.clip(np.power(src, 0.5), 0, 1) * 255
+  assert np.abs(out.astype(int) - want.astype(np.uint8).astype(int)).max() <= 1
+
+
+def test_types_alloc_compat():
+  from taichi_image_tpu import types as t
+  a = np.zeros((4, 5), np.uint16)
+  b = t.empty_like(a)
+  assert b.shape == (4, 5) and b.dtype == np.uint16
+  c = t.zeros_like(a, shape=(2, 2), dtype=np.float32)
+  assert c.shape == (2, 2) and c.dtype == np.float32 and c.sum() == 0
