@@ -114,3 +114,12 @@ def test_asserts():
     bayer.bayer_to_rgb(np.zeros((4, 4, 3), np.uint8))
   with pytest.raises(AssertionError):
     bayer.rgb_to_bayer(np.zeros((4, 4), np.uint8))
+
+
+def test_bayer_to_rgb_i16():
+  img = make_test_rgb(32, 32)
+  cfa = (rgb_to_bayer_oracle(img, "RGGB") * 32767).astype(np.int16)
+  got = np.asarray(bayer.bayer_to_rgb(cfa, bayer.BayerPattern.RGGB,
+                                      dtype=np.float32))
+  want = bayer_to_rgb_oracle(cfa, "RGGB", out_dtype=np.float32)
+  np.testing.assert_allclose(got, want, atol=1e-5)

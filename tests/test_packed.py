@@ -109,3 +109,10 @@ def test_odd_shapes_rejected(rng):
     packed.decode12(np.zeros(4, np.uint8))
   with pytest.raises(AssertionError):
     packed.decode16(np.zeros(3, np.uint8))
+
+
+def test_decode12_i16(rng):
+  raw = rng.integers(0, 256, size=300).astype(np.uint8)
+  got = np.asarray(packed.decode12(raw, dtype=np.int16, scaled=True))
+  want = decode12_oracle(raw, dtype=np.int16, scaled=True)
+  assert np.array_equal(got, want)
