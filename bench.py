@@ -59,8 +59,21 @@ def main():
     return m, jnp.sum(out, dtype=jnp.int32)
 
   m0 = jnp.zeros(9, jnp.float32)
-  m, chk = steps(m0, raws)
-  _ = np.asarray(chk)  # warm compile + execute
+
+  # The axon tunnel is occasionally flaky (transient FAILED_PRECONDITION);
+  # retry the warmup a few times before giving up.
+  last_err = None
+  for attempt in range(3):
+    try:
+      m, chk = steps(m0, raws)
+      _ = np.asarray(chk)  # warm compile + execute
+      last_err = None
+      break
+    except Exception as e:  # pragma: no cover - hardware flake path
+      last_err = e
+      time.sleep(5)
+  if last_err is not None:
+    raise last_err
 
   best = None
   for _ in range(REPS):

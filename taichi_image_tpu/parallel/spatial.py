@@ -186,3 +186,54 @@ def make_spatial_isp_step(mesh: Mesh, *, fmt: str = "packed12",
       out_specs=(P(), P(None, None, axis_name, None)),
       check_vma=False)
   return jax.jit(sharded, donate_argnums=(1,))
+
+def make_grid_isp_step(mesh: Mesh, *, fmt: str = "packed12",
+                       ids_format: bool = False, work_dtype,
+                       pattern, cc=None, stride: int = 8,
+                       tonemap: str = "reinhard",
+                       n_cameras: int, image_hw,
+                       cam_axis: str = "cam",
+                       row_axis: str = ROW_AXIS):
+  """Whole-rig fused step over a 2-D mesh: cameras on one axis (data
+  parallel) x image rows on the other (spatial parallel with halo
+  exchange). The metering collectives reduce over BOTH axes; the
+  Reinhard per-image max reduces over the row axis only.
+
+  step(raws, prev, t, gamma, intensity, light_adapt, color_adapt)
+    -> (metrics, planar u8 (N, 3, H, W) sharded (cam=N axis, rows=H axis))
+  """
+  h, w = image_hw
+  n_row_shards = mesh.shape[row_axis]
+  assert (h // n_row_shards) % 8 == 0, (
+      "rows per shard must be a multiple of 8")
+  hs = -(-h // stride)
+  ws = -(-w // stride)
+  n_total = n_cameras * hs * ws
+  both = (cam_axis, row_axis)
+
+  def local_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt):
+    phases = load_raw_phases(raws, fmt, work_dtype, ids_format)
+    x12 = _demosaic_local(phases.astype(jnp.float32), pattern, cc,
+                          "mhc", row_axis)
+    x12 = x12.astype(types.canonical_dtype(work_dtype))
+    n, _, hh_l, wh = x12.shape
+    strided = x12[:, 0:3, ::stride // 2, ::stride // 2]
+    metrics = metering_update_ca(strided, prev, t, axis_name=both,
+                                 n_total=n_total)
+    if tonemap == "reinhard":
+      out12 = reinhard_apply_ca(x12.reshape(n, 4, 3, hh_l, wh), metrics,
+                                gamma, intensity, light_adapt, color_adapt,
+                                work_dtype, axis_name=row_axis)
+    else:
+      out12 = linear_apply_ca(x12.reshape(n, 4, 3, hh_l, wh), metrics,
+                              gamma)
+    out = phases_to_planar(out12.reshape(n, 12, hh_l, wh),
+                           jnp.float32).astype(jnp.uint8)
+    return metrics, out
+
+  sharded = jax.shard_map(
+      local_step, mesh=mesh,
+      in_specs=(P(cam_axis, row_axis), P(), P(), P(), P(), P(), P()),
+      out_specs=(P(), P(cam_axis, None, row_axis, None)),
+      check_vma=False)
+  return jax.jit(sharded, donate_argnums=(1,))

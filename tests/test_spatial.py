@@ -93,3 +93,36 @@ def test_spatial_alignment_asserted():
     spatial.make_spatial_isp_step(
         mesh, work_dtype=types.f32, pattern=bayer.BayerPattern.RGGB,
         n_cameras=1, image_hw=(60, 96))  # 60/8 not multiple of 8
+
+
+def test_grid_2d_mesh_matches_unsharded():
+  """Cameras x rows 2-D mesh (dp x sp) equals the single-device result."""
+  h, w = 64, 96
+  raws = []
+  for s in range(4):
+    img = make_test_rgb(h, w, seed=s)
+    cfa = rgb_to_bayer_oracle(img, "RGGB")
+    raws.append(np.asarray(packed.encode12(cfa, scaled=True)))
+  raws = np.stack(raws)
+
+  ref = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.2)
+  ref_out = ref.process(raws, gamma=0.8, intensity=2.0)
+
+  devs = np.array(jax.devices()[:8]).reshape(2, 4)
+  mesh = Mesh(devs, ("cam", spatial.ROW_AXIS))
+  step = spatial.make_grid_isp_step(
+      mesh, work_dtype=types.f32, pattern=bayer.BayerPattern.RGGB,
+      n_cameras=4, image_hw=(h, w))
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  raws_s = jax.device_put(jnp.asarray(raws),
+                          NamedSharding(mesh, P("cam", spatial.ROW_AXIS)))
+  prev = jax.device_put(jnp.zeros(9, jnp.float32), NamedSharding(mesh, P()))
+  metrics, out = step(raws_s, prev, jnp.float32(0.0), jnp.float32(0.8),
+                      jnp.float32(2.0), jnp.float32(1.0), jnp.float32(0.0))
+
+  np.testing.assert_allclose(np.asarray(metrics), np.asarray(ref.metrics),
+                             atol=1e-5)
+  diff = np.abs(np.asarray(out).astype(int) -
+                np.asarray(ref_out).astype(int))
+  assert diff.max() <= 1
+  assert (diff > 0).mean() < 0.01
