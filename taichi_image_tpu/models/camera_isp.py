@@ -451,6 +451,25 @@ class _ISPBase:
       return np.moveaxis(np.asarray(out), 1, -1)
     return out
 
+  def process_stream(self, raw_iter, prefetch: int = 2, **kwargs):
+    """Streaming driver: iterate raw frame batches through the fused step
+    with device/host overlap.
+
+    JAX dispatch is async, so keeping ``prefetch`` step results in flight
+    overlaps host upload of frame t+1 with device compute of frame t —
+    the functional analogue of the reference's ThreadPoolExecutor
+    lookahead (scripts/tonemap_scan.py:70-87). Yields outputs in order.
+    ``kwargs`` are forwarded to :meth:`process`.
+    """
+    from collections import deque
+    pending = deque()
+    for raws in raw_iter:
+      pending.append(self.process(np.asarray(raws), **kwargs))
+      if len(pending) > prefetch:
+        yield pending.popleft()
+    while pending:
+      yield pending.popleft()
+
   def _resize_plan_key(self, raws, fmt):
     h, w_raw = raws.shape[-2], raws.shape[-1]
     w = {"packed12": w_raw * 2 // 3, "packed16": w_raw // 2}.get(fmt, w_raw)

@@ -8,6 +8,8 @@ from taichi_image_tpu.utils.bounds import (
 )
 from taichi_image_tpu.utils.cache import cache
 from taichi_image_tpu.utils.benchmark import Benchmark, benchmark
+from taichi_image_tpu.utils.image import mse, psnr
+from taichi_image_tpu.utils import profiling
 
 __all__ = [
     "Bounds",
@@ -19,4 +21,7 @@ __all__ = [
     "cache",
     "Benchmark",
     "benchmark",
+    "mse",
+    "psnr",
+    "profiling",
 ]

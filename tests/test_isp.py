@@ -303,3 +303,46 @@ def test_types_alloc_compat():
   assert b.shape == (4, 5) and b.dtype == np.uint16
   c = t.zeros_like(a, shape=(2, 2), dtype=np.float32)
   assert c.shape == (2, 2) and c.dtype == np.float32 and c.sum() == 0
+
+
+def test_process_stream():
+  raw, _ = load_test_image(64, 96)
+  isp = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.3)
+
+  def frames():
+    for s in range(5):
+      yield np.stack([raw, raw])
+
+  outs = list(isp.process_stream(frames(), gamma=0.8))
+  assert len(outs) == 5
+  # identical to the step-by-step path
+  ref = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.3)
+  for i in range(5):
+    want = ref.process(np.stack([raw, raw]), gamma=0.8)
+    np.testing.assert_array_equal(np.asarray(outs[i]), np.asarray(want))
+
+
+def test_exposure_adaptation_soak():
+  """EMA metering adapts smoothly to an exposure step change."""
+  img = make_test_rgb(64, 96)
+  bright = rgb_to_bayer_oracle(np.clip(img, 0, 1), "RGGB")
+  dark = bright * 0.25
+  raw_b = np.stack([np.asarray(packed.encode12(bright, scaled=True))])
+  raw_d = np.stack([np.asarray(packed.encode12(dark, scaled=True))])
+
+  isp = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.2)
+  isp.process(raw_b)
+  b_max0 = float(np.asarray(isp.metrics)[1])
+  maxes = []
+  for _ in range(10):
+    isp.process(raw_d)
+    maxes.append(float(np.asarray(isp.metrics)[1]))
+  # EMA bounds decay monotonically toward the dark frame's max
+  assert all(maxes[i + 1] <= maxes[i] + 1e-6 for i in range(9))
+  # The reference DOUBLE-blends the bounds: once for normalization and
+  # once inside the final vec9 lerp (camera_isp.py:156-166), so the
+  # effective per-step new-frame weight is alpha^2, retain = 1 - alpha^2:
+  #   final = a*(a*new + (1-a)*prev) + (1-a)*prev -> 0.04*new + 0.96*prev
+  dark_max = 0.25 * b_max0  # dark frames are the bright frame x 0.25
+  expect = dark_max + (b_max0 - dark_max) * (1 - 0.2 ** 2) ** 10
+  assert abs(maxes[-1] - expect) < 0.01
