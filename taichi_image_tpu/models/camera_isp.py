@@ -314,11 +314,12 @@ class _ISPBase:
 
   def metering_images(self, images: List, t: float, prev, stride: int = 8):
     """One metering update over strided crops (reference
-    camera_isp.py:168-175); functional — returns the new vec9."""
+    camera_isp.py:168-175); functional — returns the new vec9 without
+    consuming ``prev`` (the donating jit gets a fresh copy)."""
     batch = jnp.stack([jnp.asarray(im)[::stride, ::stride, :]
                        for im in images])
-    return _jit_metering(batch, jnp.asarray(prev, jnp.float32),
-                         jnp.float32(t))
+    prev = jnp.array(np.asarray(prev), jnp.float32)  # fresh buffer
+    return _jit_metering(batch, prev, jnp.float32(t))
 
   # -- loaders (single image, reference API) ------------------------------
 

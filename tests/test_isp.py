@@ -346,3 +346,14 @@ def test_exposure_adaptation_soak():
   dark_max = 0.25 * b_max0  # dark frames are the bright frame x 0.25
   expect = dark_max + (b_max0 - dark_max) * (1 - 0.2 ** 2) ** 10
   assert abs(maxes[-1] - expect) < 0.01
+
+
+def test_metering_images_does_not_consume_prev():
+  import jax.numpy as jnp
+  isp = Camera32(bayer.BayerPattern.RGGB)
+  imgs = [make_test_rgb(32, 32)]
+  prev = jnp.zeros(9, jnp.float32)
+  isp.metering_images(imgs, 0.5, prev)
+  # prev must remain usable (not donated away)
+  assert float(prev.sum()) == 0.0
+  isp.metering_images(imgs, 0.5, prev)
