@@ -30,28 +30,44 @@ _VMEM_BUDGET = 12 * 1024 * 1024  # leaves headroom under the 16M VMEM
 
 
 def _pick_tile(n: int, quantum: int, lo: int, hi: int):
-  """Largest divisor of n that is a multiple of quantum within [lo, hi]."""
-  best = None
+  """Best tile (multiple of quantum in [lo, hi]) for covering n: prefer
+  exact divisors (no waste), else the size minimizing padding waste."""
+  best, best_waste = None, None
   for t in range(quantum, hi + 1, quantum):
-    if n % t == 0 and t >= lo:
-      best = t
+    if t < lo:
+      continue
+    tiles = -(-n // t)
+    waste = tiles * t - n
+    if waste == 0:
+      best, best_waste = t, 0
+    elif best_waste != 0 and (best is None or waste <= best_waste):
+      best, best_waste = t, waste  # ties -> larger tile, fewer DMAs
   return best
 
 
 def tiling_for(hh: int, wh: int):
-  """(TR, TW) or None if the shape can't be tiled within constraints."""
+  """(TR, TW) tile sizes, or None for shapes too small to tile.
+
+  Arbitrary hh/wh are supported: the wrapper pads up to the tile grid
+  and trims the output; tiles prefer exact divisors to minimize waste.
+  """
+  if hh < 8 or wh < 128:
+    return None
   tw = _pick_tile(wh, 128, 128, 768)
   if tw is None:
     return None
   tr = None
-  for cand in range(8, min(hh, 256) + 1, 8):
-    if hh % cand:
-      continue
+  for cand in range(8, min(((hh + 7) // 8) * 8, 256) + 1, 8):
     vmem = 4 * (2 * (4 * (cand + 2 * _HALO_R) * (tw + 2 * _HALO_C))
                 + 2 * (12 * cand * tw))
-    if vmem <= _VMEM_BUDGET:
+    if vmem <= _VMEM_BUDGET and (tr is None or
+                                 _waste(hh, cand) <= _waste(hh, tr)):
       tr = cand
   return (tr, tw) if tr else None
+
+
+def _waste(n: int, t: int) -> int:
+  return -(-n // t) * t - n
 
 
 def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt,
@@ -103,10 +119,14 @@ def demosaic_stencil(phases_f32, weights: np.ndarray, tr: int, tw: int,
   (unclamped, interior-normalized). ``weights`` is the (12, 4, 3, 3)
   table."""
   n, _, hh, wh = phases_f32.shape
-  ni, nj = hh // tr, wh // tw
+  ni, nj = -(-hh // tr), -(-wh // tw)
   nt = n * ni * nj
+  # pad up to the tile grid plus halos; zero padding keeps the dropped-tap
+  # renorm semantics, and the wrapper trims the grid overhang afterwards
   padded = jnp.pad(phases_f32,
-                   ((0, 0), (0, 0), (_HALO_R, _HALO_R), (_HALO_C, _HALO_C)))
+                   ((0, 0), (0, 0),
+                    (_HALO_R, _HALO_R + ni * tr - hh),
+                    (_HALO_C, _HALO_C + nj * tw - wh)))
   inv_full = tuple(float(1.0 / s) for s in weights.sum(axis=(1, 2, 3)))
   kernel = functools.partial(_stencil_kernel, weights, inv_full, tr, tw,
                              ni, nj, nt)
@@ -116,9 +136,10 @@ def demosaic_stencil(phases_f32, weights: np.ndarray, tr: int, tw: int,
     r = t % (ni * nj)
     return (nn, 0, r // nj, r % nj)
 
-  return pl.pallas_call(
+  out = pl.pallas_call(
       kernel,
-      out_shape=jax.ShapeDtypeStruct((n, 12, hh, wh), jnp.float32),
+      out_shape=jax.ShapeDtypeStruct((n, 12, ni * tr, nj * tw),
+                                     jnp.float32),
       grid=(nt,),
       in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
       out_specs=pl.BlockSpec((1, 12, tr, tw), out_map,
@@ -130,6 +151,9 @@ def demosaic_stencil(phases_f32, weights: np.ndarray, tr: int, tw: int,
       ],
       interpret=interpret,
   )(padded)
+  if (ni * tr, nj * tw) != (hh, wh):
+    out = out[:, :, :hh, :wh]
+  return out
 
 
 def pallas_available(hh: int, wh: int) -> bool:

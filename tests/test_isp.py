@@ -357,3 +357,47 @@ def test_metering_images_does_not_consume_prev():
   # prev must remain usable (not donated away)
   assert float(prev.sum()) == 0.0
   isp.metering_images(imgs, 0.5, prev)
+
+
+def test_fused_u16_and_f32_formats():
+  img = make_test_rgb(32, 48)
+  cfa16 = (rgb_to_bayer_oracle(img, "RGGB") * 65535).astype(np.uint16)
+  cfa32 = rgb_to_bayer_oracle(img, "RGGB")
+
+  isp_a = Camera32(bayer.BayerPattern.RGGB)
+  out_a = isp_a.process(np.stack([cfa16]), fmt="u16", layout="hwc")
+  composed = Camera32(bayer.BayerPattern.RGGB)
+  im = composed.load_16u(cfa16)
+  want = composed.tonemap_reinhard([im])[0]
+  assert np.abs(out_a[0].astype(int) - np.asarray(want).astype(int)).max() <= 1
+
+  isp_b = Camera32(bayer.BayerPattern.RGGB)
+  out_b = isp_b.process(np.stack([cfa32]), fmt="f32", layout="hwc")
+  composed_b = Camera32(bayer.BayerPattern.RGGB)
+  im_b = composed_b.load_32f(cfa32)
+  want_b = composed_b.tonemap_reinhard([im_b])[0]
+  assert np.abs(out_b[0].astype(int)
+                - np.asarray(want_b).astype(int)).max() <= 1
+
+
+def test_fused_ids_format():
+  img = make_test_rgb(32, 48)
+  cfa = rgb_to_bayer_oracle(img, "RGGB")
+  raw = np.asarray(packed.encode12(cfa, scaled=True, ids_format=True))
+
+  fused = Camera32(bayer.BayerPattern.RGGB)
+  out_f = fused.process(np.stack([raw]), ids_format=True, layout="hwc")
+  composed = Camera32(bayer.BayerPattern.RGGB)
+  im = composed.load_packed12(raw, ids_format=True)
+  want = composed.tonemap_reinhard([im])[0]
+  assert np.abs(out_f[0].astype(int) - np.asarray(want).astype(int)).max() <= 1
+
+
+def test_fused_correct_colors():
+  raw, _ = load_test_image(32, 48)
+  fused = Camera32(bayer.BayerPattern.RGGB, correct_colors=True)
+  out_f = fused.process(np.stack([raw]), layout="hwc")
+  composed = Camera32(bayer.BayerPattern.RGGB, correct_colors=True)
+  im = composed.load_packed12(raw)
+  want = composed.tonemap_reinhard([im])[0]
+  assert np.abs(out_f[0].astype(int) - np.asarray(want).astype(int)).max() <= 1

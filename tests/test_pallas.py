@@ -30,8 +30,27 @@ def test_stencil_matches_conv(pattern, method, rng):
 def test_tiling_for():
   assert pallas_dm.tiling_for(1080, 1920) == (120, 640)
   assert pallas_dm.tiling_for(16, 128) is not None
-  assert pallas_dm.tiling_for(15, 128) is None   # rows not tileable by 8
-  assert pallas_dm.tiling_for(16, 100) is None   # cols not 128-divisible
+  # non-divisible shapes are covered via pad-to-grid + trim
+  assert pallas_dm.tiling_for(1080, 960) is not None    # 1080p half-res
+  assert pallas_dm.tiling_for(15, 128) is not None
+  assert pallas_dm.tiling_for(7, 128) is None    # too small
+  assert pallas_dm.tiling_for(16, 100) is None   # too narrow
+
+
+@pytest.mark.parametrize("shape", [(16, 192), (24, 130), (15, 129)])
+def test_stencil_nondivisible_shapes(shape, rng):
+  hh, wh = shape
+  phases = jnp.asarray(rng.random((1, 4, hh, wh), np.float32))
+  weights = bayer._demosaic_tables(bayer.BayerPattern.RGGB, "mhc")
+  tiles = pallas_dm.tiling_for(hh, wh)
+  if tiles is None:
+    pytest.skip("untileable")
+  num = pallas_dm.demosaic_stencil(phases, weights, *tiles, interpret=True)
+  got = np.asarray(jnp.clip(
+      bayer._edge_renorm(num, weights, hh, wh), 0, 1))
+  want = np.asarray(bayer.demosaic_phases(phases, bayer.BayerPattern.RGGB,
+                                          backend="xla"))
+  np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_pallas_not_used_on_cpu():
