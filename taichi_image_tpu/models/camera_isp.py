@@ -746,6 +746,9 @@ def camera_isp(name: str, dtype=types.f32):
              {"_work_dtype": types.canonical_dtype(dtype)})
   cls.__qualname__ = name
   cls.__module__ = __name__
+  # expose the tonemap kernels like the reference (camera_isp.py:415-416)
+  cls.reinhard_kernel = staticmethod(reinhard_apply)
+  cls.linear_kernel = staticmethod(linear_apply)
   return cls
 
 

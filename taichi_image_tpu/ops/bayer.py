@@ -242,23 +242,47 @@ def cfa_phases(cfa):
 
 
 def _edge_renorm(x, weights, hh, wh):
-  """Rescale the one-pixel border strips of interior-normalized (num/16)
-  phase output to the exact dropped-tap divisors. Corner entries of the
-  column factors are 1: the row factors already applied the full corner
-  divisor."""
+  """Rescale the one-pixel border strips of interior-normalized
+  (num/full) phase output to the exact dropped-tap divisors.
+
+  Implemented as ONE fusable elementwise multiply: an outer product of
+  per-row and per-column factor vectors, with the four corner pixels
+  corrected via iota masks (the strips are not separable only at the
+  corners). Avoids `.at[...]` dynamic-update-slices, which materialize
+  full-buffer copies on TPU (measured: ~halves the fused step's HBM
+  temp footprint)."""
   full, top, bottom, left, right = _edge_sums(weights, hh, wh)
-  interior = full[:, None]
-  ft = jnp.asarray(interior / top, jnp.float32)
-  fb = jnp.asarray(interior / bottom, jnp.float32)
-  gl = interior / left
-  gr = interior / right
-  gl[:, 0] = gl[:, -1] = 1.0
-  gr[:, 0] = gr[:, -1] = 1.0
-  x = x.at[:, :, 0, :].mul(ft[None])
-  x = x.at[:, :, -1, :].mul(fb[None])
-  x = x.at[:, :, :, 0].mul(jnp.asarray(gl, jnp.float32)[None])
-  x = x.at[:, :, :, -1].mul(jnp.asarray(gr, jnp.float32)[None])
-  return x
+  t_mid, b_mid = top[:, 1], bottom[:, 1]
+  l_mid, r_mid = left[:, 1], right[:, 1]
+  tl, tr_ = top[:, 0], top[:, -1]
+  bl, br = bottom[:, 0], bottom[:, -1]
+
+  rv = np.ones((12, hh), np.float32)
+  rv[:, 0] = full / t_mid
+  rv[:, -1] = full / b_mid
+  cv = np.ones((12, wh), np.float32)
+  cv[:, 0] = full / l_mid
+  cv[:, -1] = full / r_mid
+
+  # corner corrections: desired full/corner over the separable product
+  def corr(corner, rvec, cvec):
+    return (full / corner) / (rvec * cvec)
+
+  c_tl = corr(tl, rv[:, 0], cv[:, 0])
+  c_tr = corr(tr_, rv[:, 0], cv[:, -1])
+  c_bl = corr(bl, rv[:, -1], cv[:, 0])
+  c_br = corr(br, rv[:, -1], cv[:, -1])
+
+  r_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hh, wh), 2)
+  c_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hh, wh), 3)
+  f = (jnp.asarray(rv, jnp.float32)[None, :, :, None]
+       * jnp.asarray(cv, jnp.float32)[None, :, None, :])
+  for cval, rpos, cpos in ((c_tl, 0, 0), (c_tr, 0, wh - 1),
+                           (c_bl, hh - 1, 0), (c_br, hh - 1, wh - 1)):
+    mask = (r_i == rpos) & (c_i == cpos)
+    f = jnp.where(mask, f * jnp.asarray(cval, jnp.float32)[None, :, None,
+                                                           None], f)
+  return x * f
 
 
 def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",
@@ -293,13 +317,9 @@ def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",
         ((1, 1), (1, 1)), dimension_numbers=("NCHW", "OIHW", "NCHW"),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
-    full, top, bottom, left, right = _edge_sums(weights, hh, wh)
-    out = num * jnp.asarray(1.0 / full, jnp.float32)[None, :, None, None]
-    inv = lambda d: jnp.asarray(1.0 / d, jnp.float32)
-    out = out.at[:, :, 0, :].set(num[:, :, 0, :] * inv(top)[None])
-    out = out.at[:, :, -1, :].set(num[:, :, -1, :] * inv(bottom)[None])
-    out = out.at[:, :, :, 0].set(num[:, :, :, 0] * inv(left)[None])
-    out = out.at[:, :, :, -1].set(num[:, :, :, -1] * inv(right)[None])
+    full = weights.sum(axis=(1, 2, 3))
+    num16 = num * jnp.asarray(1.0 / full, jnp.float32)[None, :, None, None]
+    out = _edge_renorm(num16, weights, hh, wh)
   else:
     num = jax.lax.conv_general_dilated(
         phases.astype(jnp.float32), jnp.asarray(weights), (1, 1),
