@@ -89,29 +89,39 @@ def _demosaic_local(phases_local, pattern, cc, method, axis_name):
   is_top = idx == 0
   is_bot = idx == n_shards - 1
 
-  # row strips fire only at the GLOBAL image edges; their vectors already
-  # carry the exact corner divisors (full/top[:, 0] == full/corner)
-  ftop = jnp.where(is_top, jnp.asarray(full[:, None] / top, jnp.float32),
-                   1.0)
-  fbot = jnp.where(is_bot, jnp.asarray(full[:, None] / bottom, jnp.float32),
-                   1.0)
-  out = out.at[:, :, 0, :].mul(ftop[None])
-  out = out.at[:, :, -1, :].mul(fbot[None])
+  # One fusable elementwise multiply (see ops/bayer._edge_renorm): outer
+  # product of row/column factor vectors, row strips gated to the GLOBAL
+  # image edges, corners (non-separable) corrected via iota masks.
+  t_mid, b_mid = top[:, 1], bottom[:, 1]
+  l_mid, r_mid = left[:, 1], right[:, 1]
+  tl, tr_ = top[:, 0], top[:, -1]
+  bl, br = bottom[:, 0], bottom[:, -1]
 
-  # column strips fire on every shard with the interior strip value; the
-  # corner rows on the global top/bottom shards are already fully
-  # renormalized by the row strips above, so their column factor is 1
-  l_mid = full / left[:, 1]   # interior value per channel
-  r_mid = full / right[:, 1]
-  gl = jnp.tile(jnp.asarray(l_mid, jnp.float32)[:, None], (1, hh_l))
-  gr = jnp.tile(jnp.asarray(r_mid, jnp.float32)[:, None], (1, hh_l))
-  one = jnp.ones((12,), jnp.float32)
-  gl = gl.at[:, 0].set(jnp.where(is_top, one, gl[:, 0]))
-  gl = gl.at[:, -1].set(jnp.where(is_bot, one, gl[:, -1]))
-  gr = gr.at[:, 0].set(jnp.where(is_top, one, gr[:, 0]))
-  gr = gr.at[:, -1].set(jnp.where(is_bot, one, gr[:, -1]))
-  out = out.at[:, :, :, 0].mul(gl[None])
-  out = out.at[:, :, :, -1].mul(gr[None])
+  r_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hh_l, wh), 2)
+  c_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hh_l, wh), 3)
+  on_top = is_top & (r_i == 0)
+  on_bot = is_bot & (r_i == hh_l - 1)
+  f_t = jnp.asarray(full / t_mid, jnp.float32)[None, :, None, None]
+  f_b = jnp.asarray(full / b_mid, jnp.float32)[None, :, None, None]
+  rvf = jnp.where(on_top, f_t, 1.0) * jnp.where(on_bot, f_b, 1.0)
+
+  cv = np.ones((12, wh), np.float32)
+  cv[:, 0] = full / l_mid
+  cv[:, -1] = full / r_mid
+  cvf = jnp.asarray(cv, jnp.float32)[None, :, None, :]
+
+  def corr(corner, rvec, cvec):
+    return jnp.asarray((full / corner) / (rvec * cvec),
+                       jnp.float32)[None, :, None, None]
+
+  fac = rvf * cvf
+  for cval, rmask, cpos in (
+      (corr(tl, full / t_mid, cv[:, 0]), on_top, 0),
+      (corr(tr_, full / t_mid, cv[:, -1]), on_top, wh - 1),
+      (corr(bl, full / b_mid, cv[:, 0]), on_bot, 0),
+      (corr(br, full / b_mid, cv[:, -1]), on_bot, wh - 1)):
+    fac = jnp.where(rmask & (c_i == cpos), fac * cval, fac)
+  out = out * fac
 
   if cc is not None:
     ccm = jnp.asarray(np.array(cc, np.float32).reshape(3, 3))
