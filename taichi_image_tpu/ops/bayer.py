@@ -241,48 +241,53 @@ def cfa_phases(cfa):
                     cfa[:, 1::2, 0::2], cfa[:, 1::2, 1::2]], axis=1)
 
 
-def _edge_renorm(x, weights, hh, wh):
-  """Rescale the one-pixel border strips of interior-normalized
-  (num/full) phase output to the exact dropped-tap divisors.
+def edge_renorm_factor(weights, hh, wh, is_top=True, is_bot=True):
+  """Elementwise border-renormalization factor (1, 12, hh, wh-broadcast).
 
-  Implemented as ONE fusable elementwise multiply: an outer product of
-  per-row and per-column factor vectors, with the four corner pixels
-  corrected via iota masks (the strips are not separable only at the
-  corners). Avoids `.at[...]` dynamic-update-slices, which materialize
-  full-buffer copies on TPU (measured: ~halves the fused step's HBM
-  temp footprint)."""
+  An outer product of per-row and per-column factor vectors with the four
+  corner pixels corrected via iota masks — the drop-tap divisor strips
+  are separable everywhere except the corners, where the correction makes
+  the combined factor EXACTLY full/corner regardless of the row/column
+  vector values (so narrow images, wh == 2, stay exact). One fusable
+  multiply instead of `.at[...]` dynamic-update-slices, which materialize
+  full-buffer copies on TPU.
+
+  ``is_top``/``is_bot`` may be Python bools or traced scalars (spatial
+  sharding passes axis_index-derived gates so row strips fire only at the
+  GLOBAL image edges).
+  """
   full, top, bottom, left, right = _edge_sums(weights, hh, wh)
   t_mid, b_mid = top[:, 1], bottom[:, 1]
   l_mid, r_mid = left[:, 1], right[:, 1]
   tl, tr_ = top[:, 0], top[:, -1]
   bl, br = bottom[:, 0], bottom[:, -1]
 
-  rv = np.ones((12, hh), np.float32)
-  rv[:, 0] = full / t_mid
-  rv[:, -1] = full / b_mid
+  r_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hh, wh), 2)
+  c_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hh, wh), 3)
+  on_top = is_top & (r_i == 0)
+  on_bot = is_bot & (r_i == hh - 1)
+
+  ch = lambda v: jnp.asarray(v, jnp.float32)[None, :, None, None]
+  rvf = (jnp.where(on_top, ch(full / t_mid), 1.0)
+         * jnp.where(on_bot, ch(full / b_mid), 1.0))
   cv = np.ones((12, wh), np.float32)
   cv[:, 0] = full / l_mid
   cv[:, -1] = full / r_mid
+  f = rvf * jnp.asarray(cv, jnp.float32)[None, :, None, :]
 
-  # corner corrections: desired full/corner over the separable product
-  def corr(corner, rvec, cvec):
-    return (full / corner) / (rvec * cvec)
+  # corner corrections: combined factor becomes exactly full/corner
+  for corner, rvec, rmask, cpos in (
+      (tl, full / t_mid, on_top, 0), (tr_, full / t_mid, on_top, wh - 1),
+      (bl, full / b_mid, on_bot, 0), (br, full / b_mid, on_bot, wh - 1)):
+    cval = (full / corner) / (rvec * cv[:, cpos])
+    f = jnp.where(rmask & (c_i == cpos), f * ch(cval), f)
+  return f
 
-  c_tl = corr(tl, rv[:, 0], cv[:, 0])
-  c_tr = corr(tr_, rv[:, 0], cv[:, -1])
-  c_bl = corr(bl, rv[:, -1], cv[:, 0])
-  c_br = corr(br, rv[:, -1], cv[:, -1])
 
-  r_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hh, wh), 2)
-  c_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hh, wh), 3)
-  f = (jnp.asarray(rv, jnp.float32)[None, :, :, None]
-       * jnp.asarray(cv, jnp.float32)[None, :, None, :])
-  for cval, rpos, cpos in ((c_tl, 0, 0), (c_tr, 0, wh - 1),
-                           (c_bl, hh - 1, 0), (c_br, hh - 1, wh - 1)):
-    mask = (r_i == rpos) & (c_i == cpos)
-    f = jnp.where(mask, f * jnp.asarray(cval, jnp.float32)[None, :, None,
-                                                           None], f)
-  return x * f
+def _edge_renorm(x, weights, hh, wh):
+  """Apply exact drop-tap border renormalization to interior-normalized
+  (num/full) phase output."""
+  return x * edge_renorm_factor(weights, hh, wh)
 
 
 def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",

@@ -28,7 +28,8 @@ from taichi_image_tpu.models.camera_isp import (linear_apply_ca,
                                                 metering_update_ca,
                                                 reinhard_apply_ca)
 from taichi_image_tpu.ops import bayer as bayer_ops
-from taichi_image_tpu.ops.bayer import (_demosaic_tables, _edge_sums,
+from taichi_image_tpu.ops.bayer import (_demosaic_tables,
+                                        edge_renorm_factor,
                                         phases_to_planar)
 from taichi_image_tpu.ops.interpolate import ImageTransform
 from taichi_image_tpu.models.camera_isp import load_raw_phases
@@ -81,47 +82,15 @@ def _demosaic_local(phases_local, pattern, cc, method, axis_name):
       preferred_element_type=jnp.float32)
 
   assert hh_l >= 3, "row shards must have at least 3 half-res rows"
-  full, top, bottom, left, right = _edge_sums(weights, hh_l, wh)
+  full = weights.sum(axis=(1, 2, 3))
   out = num * jnp.asarray(1.0 / full, jnp.float32)[None, :, None, None]
 
   idx = jax.lax.axis_index(axis_name)
   n_shards = jax.lax.axis_size(axis_name)
-  is_top = idx == 0
-  is_bot = idx == n_shards - 1
-
-  # One fusable elementwise multiply (see ops/bayer._edge_renorm): outer
-  # product of row/column factor vectors, row strips gated to the GLOBAL
-  # image edges, corners (non-separable) corrected via iota masks.
-  t_mid, b_mid = top[:, 1], bottom[:, 1]
-  l_mid, r_mid = left[:, 1], right[:, 1]
-  tl, tr_ = top[:, 0], top[:, -1]
-  bl, br = bottom[:, 0], bottom[:, -1]
-
-  r_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hh_l, wh), 2)
-  c_i = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hh_l, wh), 3)
-  on_top = is_top & (r_i == 0)
-  on_bot = is_bot & (r_i == hh_l - 1)
-  f_t = jnp.asarray(full / t_mid, jnp.float32)[None, :, None, None]
-  f_b = jnp.asarray(full / b_mid, jnp.float32)[None, :, None, None]
-  rvf = jnp.where(on_top, f_t, 1.0) * jnp.where(on_bot, f_b, 1.0)
-
-  cv = np.ones((12, wh), np.float32)
-  cv[:, 0] = full / l_mid
-  cv[:, -1] = full / r_mid
-  cvf = jnp.asarray(cv, jnp.float32)[None, :, None, :]
-
-  def corr(corner, rvec, cvec):
-    return jnp.asarray((full / corner) / (rvec * cvec),
-                       jnp.float32)[None, :, None, None]
-
-  fac = rvf * cvf
-  for cval, rmask, cpos in (
-      (corr(tl, full / t_mid, cv[:, 0]), on_top, 0),
-      (corr(tr_, full / t_mid, cv[:, -1]), on_top, wh - 1),
-      (corr(bl, full / b_mid, cv[:, 0]), on_bot, 0),
-      (corr(br, full / b_mid, cv[:, -1]), on_bot, wh - 1)):
-    fac = jnp.where(rmask & (c_i == cpos), fac * cval, fac)
-  out = out * fac
+  # row strips fire only at the GLOBAL image edges (gated factors)
+  out = out * edge_renorm_factor(weights, hh_l, wh,
+                                 is_top=(idx == 0),
+                                 is_bot=(idx == n_shards - 1))
 
   if cc is not None:
     ccm = jnp.asarray(np.array(cc, np.float32).reshape(3, 3))

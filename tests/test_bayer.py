@@ -123,3 +123,15 @@ def test_bayer_to_rgb_i16():
                                       dtype=np.float32))
   want = bayer_to_rgb_oracle(cfa, "RGGB", out_dtype=np.float32)
   np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(4, 4), (4, 8), (8, 4), (6, 6)])
+def test_tiny_images_exact(shape):
+  # wh == 2 exercises the corner-override path of the separable edge
+  # renormalization (every border column is a corner)
+  h, w = shape
+  rng = np.random.default_rng(3)
+  cfa = rng.random((h, w)).astype(np.float32)
+  got = np.asarray(bayer.bayer_to_rgb(cfa, bayer.BayerPattern.RGGB))
+  want = bayer_to_rgb_oracle(cfa, "RGGB")
+  np.testing.assert_allclose(got, want, atol=1e-5)
