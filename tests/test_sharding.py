@@ -125,3 +125,18 @@ def test_dispatch_queue_inline():
     assert DispatchQueue.run_sync(lambda x: x * 2, 21) == 42
   finally:
     DispatchQueue.stop()
+
+
+def test_sharded_linear_tonemap():
+  raws = _raws(4)
+  mesh = make_camera_mesh(4)
+  isp = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.2)
+  step = sharded_step_for_isp(isp, mesh, raws.shape, tonemap="linear")
+  prev = replicate(jnp.zeros(9, jnp.float32), mesh)
+  m, out = step(shard_cameras(jnp.asarray(raws), mesh), prev,
+                jnp.float32(0.0), jnp.float32(0.8), jnp.float32(1.0),
+                jnp.float32(1.0), jnp.float32(0.0))
+  ref = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.2)
+  ref_out = ref.process(raws, gamma=0.8, tonemap="linear")
+  assert np.abs(np.asarray(out).astype(int) -
+                np.asarray(ref_out).astype(int)).max() <= 1
