@@ -82,3 +82,15 @@ def test_tonemap_images_end_to_end(tmp_path):
   from taichi_image_tpu.scripts.tonemap_images import main
   main([str(d), "--write", str(out)])
   assert len(list(out.glob("*.jpg"))) == 2
+
+
+def test_compare_bayer_cli(tmp_path, capsys):
+  pytest.importorskip("PIL")
+  from PIL import Image
+  img = (make_test_rgb(48, 64) * 255).astype(np.uint8)
+  p = tmp_path / "rgb.png"
+  Image.fromarray(img).save(str(p))
+  from taichi_image_tpu.scripts.compare_bayer import main
+  main([str(p)])
+  out = capsys.readouterr().out
+  assert "RGGB" in out and "BGGR" in out
