@@ -422,7 +422,8 @@ class _ISPBase:
   def process(self, raws, fmt: str = "packed12", ids_format: bool = False,
               gamma: float = 1.0, intensity: float = 1.0,
               light_adapt: float = 1.0, color_adapt: float = 0.0,
-              tonemap: str = "reinhard", layout: str = "planar"):
+              tonemap: str = "reinhard", layout: str = "planar",
+              color_format: str = "rgb"):
     """Fused whole-rig step: decode -> demosaic+WB/CCM -> resize ->
     metering EMA -> tonemap -> transform, in ONE jitted call over the
     camera batch. TPU-native extension (SURVEY.md §7 step 4); equivalent
@@ -432,6 +433,8 @@ class _ISPBase:
     updates the EMA state. ``layout``: 'planar' (default) returns the
     TPU-native (n, 3, h', w') device array; 'hwc' returns a host numpy
     (n, h', w', 3) view (one device->host transfer + free moveaxis).
+    ``color_format='yuv420'`` returns planar I420 (Y, UV) u8 device
+    arrays instead (no resize/transform; ``layout`` ignored).
     """
     raws = jnp.asarray(raws)
     if self.metrics is None:
@@ -446,8 +449,11 @@ class _ISPBase:
         jnp.float32(color_adapt),
         fmt, ids_format, self._work_dtype, self.bayer_pattern,
         self._cc_tuple(), self._resize_plan_key(raws, fmt),
-        self.metering_stride, self.transform, tonemap)
+        self.metering_stride, self.transform, tonemap,
+        color_format=color_format)
     self.metrics = new_metrics
+    if color_format != "rgb":
+      return out
     if layout == "hwc":
       return np.moveaxis(np.asarray(out), 1, -1)
     return out
@@ -664,15 +670,47 @@ def _transform_planar(images, t: ImageTransform):
   raise ValueError(f"unknown transform {t}")
 
 
+def yuv420_from_phases_u8(out12):
+  """Tonemapped u8 phase-RGB (N, 12, hh, wh) -> planar I420 u8:
+  (Y (N, H, W), UV (N, 2, hh, wh)).
+
+  Replicates the reference YUV kernel semantics on the quantized u8 RGB
+  (color/yuv_420.py:38-66): matrix applied to the channel-reversed
+  vector, min(1, x) upper clamp, V-then-U plane order. The 2x2 chroma
+  block mean is exactly the mean over the four Bayer phases — in phase
+  form the subsampling is free.
+  """
+  from taichi_image_tpu.ops.color import _YUV_M, _YUV_OFFSET
+  n, _, hh, wh = out12.shape
+  x = out12.reshape(n, 4, 3, hh, wh).astype(jnp.float32) / 255.0
+  bgr = x[:, :, ::-1]
+  yuv = jnp.einsum("npchw,dc->npdhw", bgr, jnp.asarray(_YUV_M),
+                   precision=jax.lax.Precision.HIGHEST)
+  yuv = yuv + jnp.asarray(_YUV_OFFSET, jnp.float32)[None, None, :, None,
+                                                    None]
+  y_ph = jnp.minimum(1.0, yuv[:, :, 0])                   # (N, 4, hh, wh)
+  y = bayer_ops.phases_to_plane(y_ph, jnp.float32)
+  y_u8 = jnp.clip(y * 255.0, 0, 255).astype(jnp.uint8)
+  uv = jnp.minimum(1.0, jnp.mean(yuv[:, :, 1:3], axis=1))  # (N, 2, hh, wh)
+  # V-then-U plane order quirk (yuv_420.py:62-64)
+  uv = uv[:, ::-1]
+  uv_u8 = jnp.clip(uv * 255.0, 0, 255).astype(jnp.uint8)
+  return y_u8, uv_u8
+
+
 def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
                    fmt, ids_format, work_dtype, pattern, cc, resize_plan,
                    stride, transform, tonemap, axis_name=None,
-                   n_total=None):
+                   n_total=None, color_format="rgb"):
   """The full per-frame ISP pipeline as a pure function (shardable).
 
   Returns ``(new_metrics, planar u8 (N, 3, h', w'))``. The pipeline is
   planar throughout (see module note); convert to HWC at the API boundary
   with ``np.moveaxis(out, 1, -1)`` on host, which is a free view.
+
+  ``color_format='yuv420'`` (no-resize, no-transform path only) emits
+  planar I420 directly — ``(metrics, (Y (N, H, W), UV (N, 2, H/2, W/2)))``
+  u8 — fusing the video-encoder color conversion into the step.
 
   When ``axis_name`` is given the camera batch axis is assumed sharded
   over that mesh axis and metering completes with collectives.
@@ -721,22 +759,31 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
                               gamma)
     else:
       raise ValueError(f"unknown tonemap {tonemap}")
+    if color_format == "yuv420":
+      assert transform == ImageTransform.none, (
+          "yuv420 output does not compose with output transforms")
+      return new_metrics, yuv420_from_phases_u8(
+          out12.reshape(n, 12, hh, wh))
     # u8 values are exact in f32, and the interleave conv is one-hot, so
     # assembling after the cast is lossless
     out = phases_to_planar(out12.reshape(n, 12, hh, wh),
                            jnp.float32).astype(jnp.uint8)
+  assert color_format == "rgb", (
+      "yuv420 output requires the no-resize phase path")
   return new_metrics, _transform_planar(out, transform)
 
 
 @partial(jax.jit, static_argnames=(
     "fmt", "ids_format", "work_dtype", "pattern", "cc", "resize_plan",
-    "stride", "transform", "tonemap"), donate_argnums=(1,))
+    "stride", "transform", "tonemap", "color_format"), donate_argnums=(1,))
 def _jit_fused_step(raws, prev, t, gamma, intensity, light_adapt,
                     color_adapt, fmt, ids_format, work_dtype, pattern, cc,
-                    resize_plan, stride, transform, tonemap):
+                    resize_plan, stride, transform, tonemap,
+                    color_format="rgb"):
   return fused_isp_step(raws, prev, t, gamma, intensity, light_adapt,
                         color_adapt, fmt, ids_format, work_dtype, pattern,
-                        cc, resize_plan, stride, transform, tonemap)
+                        cc, resize_plan, stride, transform, tonemap,
+                        color_format=color_format)
 
 
 def camera_isp(name: str, dtype=types.f32):

@@ -345,6 +345,26 @@ def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",
   return jnp.clip(out, 0.0, 1.0).astype(out_dtype)
 
 
+@cache
+def _interleave_table_1ch():
+  """One-hot (1, 4, 2, 2) kernel assembling a full-res plane from four
+  phase planes (single-channel variant of :func:`_interleave_table`)."""
+  k = np.zeros((1, 4, 2, 2), np.float32)
+  for p, (dy, dx) in enumerate(_PHASE_PARITY):
+    k[0, p, 1 - dy, 1 - dx] = 1.0
+  return k
+
+
+def phases_to_plane(x4, dtype=None):
+  """(N, 4, hh, wh) single-channel phases -> full-res (N, H, W) plane."""
+  out = jax.lax.conv_general_dilated(
+      x4.astype(jnp.float32), jnp.asarray(_interleave_table_1ch()), (1, 1),
+      ((1, 1), (1, 1)), lhs_dilation=(2, 2),
+      dimension_numbers=("NCHW", "OIHW", "NCHW"),
+      precision=jax.lax.Precision.HIGHEST)
+  return out[:, 0].astype(dtype or x4.dtype)
+
+
 def phases_to_planar(x12, dtype=None):
   """(N, 12, hh, wh) phase-RGB -> full-res planar (N, 3, H, W) via a
   one-hot stride-2 transposed convolution (exact)."""

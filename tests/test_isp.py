@@ -401,3 +401,26 @@ def test_fused_correct_colors():
   im = composed.load_packed12(raw)
   want = composed.tonemap_reinhard([im])[0]
   assert np.abs(out_f[0].astype(int) - np.asarray(want).astype(int)).max() <= 1
+
+
+def test_fused_yuv420_output():
+  """Fused I420 emission equals yuv420(rgb_output) of the composed path."""
+  from taichi_image_tpu.ops import color
+  raw, _ = load_test_image(64, 96)
+  raws = np.stack([raw, raw])
+
+  fused = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.2)
+  y, uv = fused.process(raws, gamma=0.8, color_format="yuv420")
+  assert np.asarray(y).shape == (2, 64, 96)
+  assert np.asarray(uv).shape == (2, 2, 32, 48)
+
+  ref = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.2)
+  rgb = ref.process(raws, gamma=0.8, layout="hwc")
+  for i in range(2):
+    want = np.asarray(color.rgb_yuv420_image(rgb[i]))  # (3H/2, W) u8
+    want_y = want[:64]
+    want_uv = want[64:].reshape(2, 32, 48)
+    assert np.abs(np.asarray(y[i]).astype(int)
+                  - want_y.astype(int)).max() <= 1
+    assert np.abs(np.asarray(uv[i]).astype(int)
+                  - want_uv.astype(int)).max() <= 1
