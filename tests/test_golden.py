@@ -73,7 +73,9 @@ def test_golden_outputs():
 
 if __name__ == "__main__":
   import sys
-  sys.path.insert(0, str(pathlib.Path(__file__).parent))
+  here = pathlib.Path(__file__).resolve().parent
+  sys.path.insert(0, str(here))
+  sys.path.insert(0, str(here.parent))  # repo root for taichi_image_tpu
   import conftest  # noqa: F401  (forces CPU backend)
   if "--regen" in sys.argv:
     GOLDEN.mkdir(exist_ok=True)
