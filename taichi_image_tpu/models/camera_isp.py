@@ -38,6 +38,7 @@ from taichi_image_tpu.ops.bayer import (cfa_phases, demosaic_phases,
                                         phases_to_planar)
 from taichi_image_tpu.ops.color import rgb_gray
 from taichi_image_tpu.ops.interpolate import ImageTransform, _axis_samples
+from taichi_image_tpu.utils import debug as debug_util
 from taichi_image_tpu.utils.bounds import lerp
 
 __all__ = ["camera_isp", "Camera16", "Camera32", "CameraBF16",
@@ -335,13 +336,16 @@ class _ISPBase:
 
   def load_packed12(self, image_data, ids_format: bool = False):
     """Packed 12-bit plane -> working-dtype RGB (camera_isp.py:333-340)."""
-    cfa = load_raw(jnp.asarray(image_data)[None], "packed12",
-                   self._work_dtype, ids_format)
+    image_data = jnp.asarray(image_data)
+    debug_util.validate_raw(image_data, "packed12", batch=False)
+    cfa = load_raw(image_data[None], "packed12", self._work_dtype,
+                   ids_format)
     return self._process_batch(cfa)[0]
 
   def load_packed16(self, image_data):
-    cfa = load_raw(jnp.asarray(image_data)[None], "packed16",
-                   self._work_dtype)
+    image_data = jnp.asarray(image_data)
+    debug_util.validate_raw(image_data, "packed16", batch=False)
+    cfa = load_raw(image_data[None], "packed16", self._work_dtype)
     return self._process_batch(cfa)[0]
 
   def load_16u(self, image):
@@ -437,13 +441,16 @@ class _ISPBase:
     arrays instead (no resize/transform; ``layout`` ignored).
     """
     raws = jnp.asarray(raws)
+    debug_util.validate_raw(raws, fmt)
     if self.metrics is None:
       prev = jnp.zeros(9, jnp.float32)
       t = 0.0
     else:
       prev = self.metrics
       t = 1.0 - self.moving_alpha
-    new_metrics, out = _jit_fused_step(
+    step = (_jit_fused_step_checked if debug_util.debug_enabled()
+            else _jit_fused_step)
+    new_metrics, out = step(
         raws, prev, jnp.float32(t), jnp.float32(gamma),
         jnp.float32(intensity), jnp.float32(light_adapt),
         jnp.float32(color_adapt),
@@ -467,15 +474,26 @@ class _ISPBase:
     the functional analogue of the reference's ThreadPoolExecutor
     lookahead (scripts/tonemap_scan.py:70-87). Yields outputs in order.
     ``kwargs`` are forwarded to :meth:`process`.
+
+    The deque holds in-flight DEVICE arrays; ``layout='hwc'`` host
+    conversion (which blocks on the step) is deferred to yield time so
+    it never collapses the overlap window.
     """
     from collections import deque
+    layout = kwargs.pop("layout", "planar")
+    to_host = layout == "hwc" and kwargs.get("color_format", "rgb") == "rgb"
+
+    def finish(out):
+      return np.moveaxis(np.asarray(out), 1, -1) if to_host else out
+
     pending = deque()
     for raws in raw_iter:
-      pending.append(self.process(np.asarray(raws), **kwargs))
+      pending.append(self.process(np.asarray(raws), layout="planar",
+                                  **kwargs))
       if len(pending) > prefetch:
-        yield pending.popleft()
+        yield finish(pending.popleft())
     while pending:
-      yield pending.popleft()
+      yield finish(pending.popleft())
 
   def _resize_plan_key(self, raws, fmt):
     h, w_raw = raws.shape[-2], raws.shape[-1]
@@ -670,6 +688,35 @@ def _transform_planar(images, t: ImageTransform):
   raise ValueError(f"unknown transform {t}")
 
 
+def yuv420_from_planar_u8(out):
+  """Tonemapped planar u8 RGB (N, 3, H, W) -> planar I420 u8:
+  (Y (N, H, W), UV (N, 2, H/2, W/2)).
+
+  Same per-pixel math as :func:`yuv420_from_phases_u8` (reference
+  color/yuv_420.py:38-66 semantics: matrix on the channel-reversed vector,
+  min(1, x) clamp, V-then-U plane order), but driven from full-res planar
+  RGB so it composes with resize and output transforms. H and W must be
+  even.
+  """
+  from taichi_image_tpu.ops.color import _YUV_M, _YUV_OFFSET
+  n, _, h, w = out.shape
+  if h % 2 or w % 2:
+    raise ValueError(
+        f"yuv420 output needs even output dims, got {(h, w)}")
+  x = out.astype(jnp.float32) / 255.0
+  bgr = x[:, ::-1]
+  yuv = jnp.einsum("nchw,dc->ndhw", bgr, jnp.asarray(_YUV_M),
+                   precision=jax.lax.Precision.HIGHEST)
+  yuv = yuv + jnp.asarray(_YUV_OFFSET, jnp.float32)[None, :, None, None]
+  y = jnp.minimum(1.0, yuv[:, 0])
+  y_u8 = jnp.clip(y * 255.0, 0, 255).astype(jnp.uint8)
+  blocks = yuv[:, 1:3].reshape(n, 2, h // 2, 2, w // 2, 2)
+  uv = jnp.minimum(1.0, blocks.mean(axis=(3, 5)))
+  uv = uv[:, ::-1]  # V-then-U plane order quirk (yuv_420.py:62-64)
+  uv_u8 = jnp.clip(uv * 255.0, 0, 255).astype(jnp.uint8)
+  return y_u8, uv_u8
+
+
 def yuv420_from_phases_u8(out12):
   """Tonemapped u8 phase-RGB (N, 12, hh, wh) -> planar I420 u8:
   (Y (N, H, W), UV (N, 2, hh, wh)).
@@ -701,31 +748,55 @@ def yuv420_from_phases_u8(out12):
 def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
                    fmt, ids_format, work_dtype, pattern, cc, resize_plan,
                    stride, transform, tonemap, axis_name=None,
-                   n_total=None, color_format="rgb"):
+                   n_total=None, color_format="rgb", debug_checks=False):
   """The full per-frame ISP pipeline as a pure function (shardable).
 
   Returns ``(new_metrics, planar u8 (N, 3, h', w'))``. The pipeline is
   planar throughout (see module note); convert to HWC at the API boundary
   with ``np.moveaxis(out, 1, -1)`` on host, which is a free view.
 
-  ``color_format='yuv420'`` (no-resize, no-transform path only) emits
-  planar I420 directly — ``(metrics, (Y (N, H, W), UV (N, 2, H/2, W/2)))``
-  u8 — fusing the video-encoder color conversion into the step.
+  ``color_format='yuv420'`` emits planar I420 instead —
+  ``(metrics, (Y (N, h', w'), UV (N, 2, h'/2, w'/2)))`` u8 — fusing the
+  video-encoder color conversion into the step. It composes with resize
+  and output transforms (conversion happens after both, mirroring a
+  downstream encoder consuming the reference's transformed RGB output);
+  output dims must be even. The no-resize/no-transform case converts
+  directly from phase form without materializing interleaved RGB.
 
   When ``axis_name`` is given the camera batch axis is assumed sharded
   over that mesh axis and metering completes with collectives.
   """
   phases = load_raw_phases(raws, fmt, work_dtype, ids_format)
+  if debug_checks:
+    # Compiled-in validation (TAICHI_IMAGE_TPU_DEBUG; the reference's
+    # ti.init(debug=True) analogue, SURVEY.md §5). The f16/f32 loader
+    # paths are exempt from the range check: the reference's load_16f
+    # numeric-cast quirk feeds unnormalized values by design.
+    from jax.experimental import checkify
+    if fmt in ("packed12", "packed16", "u16"):
+      checkify.check(
+          (phases.astype(jnp.float32) >= 0.0).all()
+          & (phases.astype(jnp.float32) <= 1.0).all(),
+          "decoded CFA values escape [0, 1] — corrupt raw or wrong format")
   x12 = demosaic_phases(phases, pattern, cc=cc,
                         out_dtype=types.canonical_dtype(work_dtype))
+
+  def _meter(strided):
+    m = metering_update_ca(strided, prev, t, axis_name=axis_name,
+                           n_total=n_total)
+    if debug_checks:
+      from jax.experimental import checkify
+      checkify.check(
+          jnp.isfinite(m).all(),
+          "metering produced non-finite stats — NaN/inf in input frames")
+    return m
 
   if resize_plan is not None:
     size, scale = resize_plan
     planar = phases_to_planar(x12, types.canonical_dtype(work_dtype))
     rgb = _resize_planar(planar, size, scale, work_dtype)
     strided = rgb[:, :, ::stride, ::stride]
-    new_metrics = metering_update_ca(strided, prev, t, axis_name=axis_name,
-                                     n_total=n_total)
+    new_metrics = _meter(strided)
     if tonemap == "reinhard":
       out = reinhard_apply_ca(rgb, new_metrics, gamma, intensity,
                               light_adapt, color_adapt, work_dtype)
@@ -737,8 +808,7 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
     # odd metering stride: fall back to assembling planar first
     rgb = phases_to_planar(x12, types.canonical_dtype(work_dtype))
     strided = rgb[:, :, ::stride, ::stride]
-    new_metrics = metering_update_ca(strided, prev, t, axis_name=axis_name,
-                                     n_total=n_total)
+    new_metrics = _meter(strided)
     if tonemap == "reinhard":
       out = reinhard_apply_ca(rgb, new_metrics, gamma, intensity,
                               light_adapt, color_adapt, work_dtype)
@@ -748,8 +818,7 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
     n, _, hh, wh = x12.shape
     # full-res stride-8 pixels are exactly phase (0,0) at half-res stride 4
     strided = x12[:, 0:3, ::stride // 2, ::stride // 2]
-    new_metrics = metering_update_ca(strided, prev, t, axis_name=axis_name,
-                                     n_total=n_total)
+    new_metrics = _meter(strided)
     if tonemap == "reinhard":
       out12 = reinhard_apply_ca(x12.reshape(n, 4, 3, hh, wh), new_metrics,
                                 gamma, intensity, light_adapt, color_adapt,
@@ -759,18 +828,20 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
                               gamma)
     else:
       raise ValueError(f"unknown tonemap {tonemap}")
-    if color_format == "yuv420":
-      assert transform == ImageTransform.none, (
-          "yuv420 output does not compose with output transforms")
+    if color_format == "yuv420" and transform == ImageTransform.none:
+      # fast path: convert from phase form, no interleaved intermediate
       return new_metrics, yuv420_from_phases_u8(
           out12.reshape(n, 12, hh, wh))
     # u8 values are exact in f32, and the interleave conv is one-hot, so
     # assembling after the cast is lossless
     out = phases_to_planar(out12.reshape(n, 12, hh, wh),
                            jnp.float32).astype(jnp.uint8)
-  assert color_format == "rgb", (
-      "yuv420 output requires the no-resize phase path")
-  return new_metrics, _transform_planar(out, transform)
+  out = _transform_planar(out, transform)
+  if color_format == "yuv420":
+    return new_metrics, yuv420_from_planar_u8(out)
+  if color_format != "rgb":
+    raise ValueError(f"unknown color_format {color_format!r}")
+  return new_metrics, out
 
 
 @partial(jax.jit, static_argnames=(
@@ -784,6 +855,15 @@ def _jit_fused_step(raws, prev, t, gamma, intensity, light_adapt,
                         color_adapt, fmt, ids_format, work_dtype, pattern,
                         cc, resize_plan, stride, transform, tonemap,
                         color_format=color_format)
+
+
+# Debug variant (TAICHI_IMAGE_TPU_DEBUG=1): compiled-in checkify
+# invariants, no donation (checkify threads an error value through).
+_jit_fused_step_checked = debug_util.checked_jit(
+    partial(fused_isp_step, debug_checks=True),
+    static_argnames=("fmt", "ids_format", "work_dtype", "pattern", "cc",
+                     "resize_plan", "stride", "transform", "tonemap",
+                     "color_format"))
 
 
 def camera_isp(name: str, dtype=types.f32):

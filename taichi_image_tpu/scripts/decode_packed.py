@@ -34,6 +34,9 @@ def main(argv=None):
     data = np.load(args.raw).astype(np.uint8)
   else:
     data = np.frombuffer(args.raw.read_bytes(), np.uint8)
+  # fail with a clear message on a wrong --width before reshaping garbage
+  from taichi_image_tpu.utils.debug import validate_raw_file
+  validate_raw_file(data.size, args.width, "packed12")
   row_bytes = args.width * 3 // 2
   raws = data.reshape(1, -1, row_bytes)
 

@@ -70,7 +70,11 @@ def main(argv=None):
   images = load_images_iter(load_raw_bytes, folders, names)
   row_bytes = (args.width * 3) // 2
 
+  from taichi_image_tpu.utils.debug import validate_raw_file
   for name, group in progress(images, total=len(names), desc="tonemap"):
+    for b in group.values():
+      # clear error on a wrong --width instead of scrambled frames
+      validate_raw_file(b.size, args.width, "packed12")
     raws = np.stack([b.reshape(-1, row_bytes) for b in group.values()])
     outputs = isp.process(raws, ids_format=args.ids_format,
                           gamma=args.gamma, intensity=args.intensity,

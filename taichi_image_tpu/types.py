@@ -8,7 +8,9 @@ normalized range by a per-dtype full-scale factor.
 TPU-first differences from the reference:
   * dtypes are plain numpy/jax dtypes (no Taichi types); ``bfloat16`` is a
     first-class working dtype (preferred on TPU over float16).
-  * arrays in and out are numpy or jax arrays; there is no torch path. The
+  * arrays in and out are numpy or jax arrays; torch (or any other
+    producer) interoperates through DLPack instead of a hardwired torch
+    branch — see :func:`from_torch` / :func:`to_torch` below. The
     reference's np/torch polymorphic ``empty_like`` (types.py:59-91) is
     unnecessary because ops are pure functions returning new arrays.
 """
@@ -32,6 +34,10 @@ __all__ = [
     "f16",
     "bf16",
     "f32",
+    "from_dlpack",
+    "to_dlpack",
+    "to_torch",
+    "from_torch",
 ]
 
 # Short aliases, mirroring ti.u8 / ti.u16 / ti.i16 / ti.f16 / ti.f32
@@ -137,3 +143,52 @@ def zeros_like(in_arr, shape=None, dtype=None):
   shape = in_arr.shape if shape is None else shape
   dt = dtype_of(in_arr) if dtype is None else canonical_dtype(dtype)
   return np.zeros(shape, dt)
+
+
+# --------------------------------------------------------------------------
+# DLPack interop.
+#
+# The reference borrows torch tensors zero-copy throughout (types.py:29-49,
+# camera_isp.py:83-84) so camera drivers hand over GPU buffers without a
+# copy. The TPU-native equivalent is the DLPack protocol: any producer
+# (torch, cupy, numpy>=1.23) exchanges buffers with jax without going
+# through host numpy. On CPU the exchange is zero-copy; across devices jax
+# falls back to a device transfer.
+# --------------------------------------------------------------------------
+
+
+def from_dlpack(x) -> jnp.ndarray:
+  """Import any DLPack-capable array (e.g. a torch tensor) as a jax array.
+
+  Zero-copy when producer and consumer share the device. Accepts either
+  an object implementing ``__dlpack__`` or a legacy DLPack capsule
+  (torch<=1.x ``to_dlpack`` output).
+  """
+  import jax
+  if hasattr(x, "__dlpack__"):
+    return jnp.from_dlpack(x)
+  return jax.dlpack.from_dlpack(x)  # legacy capsule
+
+
+def to_dlpack(x):
+  """Export a jax array through DLPack (consumable by
+  ``torch.from_dlpack`` / ``torch.utils.dlpack.from_dlpack``).
+
+  Returns the jax array itself — jax arrays implement ``__dlpack__`` — so
+  ``torch.from_dlpack(to_dlpack(x))`` borrows the buffer zero-copy on a
+  shared device.
+  """
+  return jnp.asarray(x)
+
+
+def to_torch(x):
+  """Borrow a jax array as a torch tensor via DLPack (zero-copy on a
+  shared device). Requires torch."""
+  import torch
+  return torch.from_dlpack(jnp.asarray(x))
+
+
+def from_torch(x) -> jnp.ndarray:
+  """Borrow a torch tensor as a jax array via DLPack (restores the
+  reference's torch ergonomics, types.py:29-49)."""
+  return from_dlpack(x)

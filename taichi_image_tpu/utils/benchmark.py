@@ -18,8 +18,11 @@ def _sync(x=None):
   if x is not None:
     jax.block_until_ready(x)
   else:
-    # Fence all pending work: a trivial transfer forces completion ordering
-    # on the default device.
+    # Fence pending work with a trivial transfer. This orders only against
+    # the single default device — for sharded/multi-device work, pass the
+    # benchmarked outputs so every participating device is fenced (the
+    # `benchmark()` driver below does; bench.py's chained-checksum
+    # methodology sidesteps fencing entirely).
     jax.device_get(jax.numpy.zeros(()))
 
 

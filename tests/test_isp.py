@@ -424,3 +424,68 @@ def test_fused_yuv420_output():
                   - want_y.astype(int)).max() <= 1
     assert np.abs(np.asarray(uv[i]).astype(int)
                   - want_uv.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("transform", [ImageTransform.rotate_90,
+                                       ImageTransform.flip_vert])
+def test_fused_yuv420_composes_with_transform(transform):
+  """yuv420 + output transform: equals yuv420(transformed rgb output)."""
+  from taichi_image_tpu.ops import color
+  raw, _ = load_test_image(64, 96)
+  raws = np.stack([raw, raw])
+
+  fused = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.2,
+                   transform=transform)
+  y, uv = fused.process(raws, gamma=0.8, color_format="yuv420")
+
+  ref = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.2,
+                 transform=transform)
+  rgb = ref.process(raws, gamma=0.8, layout="hwc")
+  h, w = rgb[0].shape[:2]
+  assert np.asarray(y).shape == (2, h, w)
+  for i in range(2):
+    want = np.asarray(color.rgb_yuv420_image(rgb[i]))
+    assert np.abs(np.asarray(y[i]).astype(int)
+                  - want[:h].astype(int)).max() <= 1
+    assert np.abs(np.asarray(uv[i]).astype(int)
+                  - want[h:].reshape(2, h // 2, w // 2).astype(int)
+                  ).max() <= 1
+
+
+def test_fused_yuv420_composes_with_resize():
+  """yuv420 + resize: equals yuv420(resized rgb output)."""
+  from taichi_image_tpu.ops import color
+  raw, _ = load_test_image(64, 96)
+  raws = np.stack([raw, raw])
+
+  fused = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.2,
+                   resize_width=48)
+  y, uv = fused.process(raws, gamma=0.8, color_format="yuv420")
+  assert np.asarray(y).shape == (2, 32, 48)
+  assert np.asarray(uv).shape == (2, 2, 16, 24)
+
+  ref = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.2,
+                 resize_width=48)
+  rgb = ref.process(raws, gamma=0.8, layout="hwc")
+  for i in range(2):
+    want = np.asarray(color.rgb_yuv420_image(rgb[i]))
+    assert np.abs(np.asarray(y[i]).astype(int)
+                  - want[:32].astype(int)).max() <= 1
+    assert np.abs(np.asarray(uv[i]).astype(int)
+                  - want[32:].reshape(2, 16, 24).astype(int)).max() <= 1
+
+
+def test_fused_yuv420_odd_output_raises():
+  raw, _ = load_test_image(64, 96)
+  raws = np.stack([raw, raw])
+  isp = Camera32(bayer.BayerPattern.RGGB, resize_width=50)  # h' = 33, odd
+  with pytest.raises(ValueError, match="even"):
+    isp.process(raws, color_format="yuv420")
+
+
+def test_process_unknown_color_format_raises():
+  raw, _ = load_test_image(64, 96)
+  raws = np.stack([raw, raw])
+  isp = Camera32(bayer.BayerPattern.RGGB)
+  with pytest.raises(ValueError, match="color_format"):
+    isp.process(raws, color_format="hsv")

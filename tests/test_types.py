@@ -104,3 +104,48 @@ def test_stage_timer():
   with stage_timer(stats, "x"):
     pass
   assert "x" in stats and stats["x"] >= 0
+
+
+def test_dlpack_torch_roundtrip():
+  """torch tensor -> jax (zero-copy CPU) -> ops -> back to torch
+  (restores the reference's torch-tensor ergonomics, types.py:29-49)."""
+  import torch
+  from taichi_image_tpu import types
+
+  t = torch.arange(48, dtype=torch.float32).reshape(6, 8) / 48.0
+  x = types.from_torch(t)
+  assert np.allclose(np.asarray(x), t.numpy())
+
+  back = types.to_torch(x * 2.0)
+  assert isinstance(back, torch.Tensor)
+  assert torch.allclose(back, t * 2.0)
+
+
+def test_dlpack_torch_u8_and_u16():
+  import torch
+  from taichi_image_tpu import types
+
+  u8 = torch.randint(0, 255, (4, 6), dtype=torch.uint8)
+  x = types.from_torch(u8)
+  assert x.dtype == np.uint8
+  assert np.array_equal(np.asarray(x), u8.numpy())
+
+
+def test_dlpack_into_isp_pipeline():
+  """A torch-held packed12 buffer feeds the ISP without host numpy."""
+  import torch
+  from taichi_image_tpu.models.camera_isp import Camera32
+  from taichi_image_tpu.ops.bayer import BayerPattern
+  from taichi_image_tpu import types
+
+  raw_np = np.random.default_rng(0).integers(
+      0, 256, size=(2, 16, 36), dtype=np.uint8)
+  raw_torch = torch.from_numpy(raw_np.copy())
+  isp = Camera32(BayerPattern.RGGB)
+  out_t = isp.process(types.from_torch(raw_torch))
+  out_n = isp.process(raw_np)
+  # same pipeline, same bytes (metrics EMA differs after first call, so
+  # compare fresh instances)
+  isp2 = Camera32(BayerPattern.RGGB)
+  out_n = isp2.process(raw_np)
+  assert np.array_equal(np.asarray(out_t), np.asarray(out_n))
