@@ -465,6 +465,41 @@ class _ISPBase:
       return np.moveaxis(np.asarray(out), 1, -1)
     return out
 
+  def process_large(self, raws, n_bands: int = 4, fmt: str = "packed12",
+                    ids_format: bool = False, gamma: float = 1.0,
+                    intensity: float = 1.0, light_adapt: float = 1.0,
+                    color_adapt: float = 0.0, tonemap: str = "reinhard",
+                    layout: str = "planar", color_format: str = "rgb"):
+    """Fused step for frames too large for one compiled program (8K on
+    this environment): sequential row-band execution with halo overlap
+    and staged global reductions — same outputs as :meth:`process` (no
+    resize/transform in banded mode). See models/large.py.
+    """
+    from taichi_image_tpu.models import large
+    raws = jnp.asarray(raws)
+    debug_util.validate_raw(raws, fmt)
+    if self._resize_plan_key(raws, fmt) is not None:
+      raise ValueError("process_large does not compose with resize")
+    if self.transform != ImageTransform.none:
+      raise ValueError("process_large does not compose with transforms")
+    if self.metrics is None:
+      prev, t = jnp.zeros(9, jnp.float32), 0.0
+    else:
+      prev, t = self.metrics, 1.0 - self.moving_alpha
+    new_metrics, out = large.process_banded(
+        raws, prev, t, n_bands=n_bands, fmt=fmt, ids_format=ids_format,
+        work_dtype=self._work_dtype, pattern=self.bayer_pattern,
+        cc=self._cc_tuple(), stride=self.metering_stride, gamma=gamma,
+        intensity=intensity, light_adapt=light_adapt,
+        color_adapt=color_adapt, tonemap=tonemap,
+        color_format=color_format)
+    self.metrics = new_metrics
+    if color_format != "rgb":
+      return out
+    if layout == "hwc":
+      return np.moveaxis(np.asarray(out), 1, -1)
+    return out
+
   def process_stream(self, raw_iter, prefetch: int = 2, **kwargs):
     """Streaming driver: iterate raw frame batches through the fused step
     with device/host overlap.
@@ -607,12 +642,12 @@ def metering_update_ca(x, prev, t, axis_name=None, n_total=None):
   return lerp(t, stats, prev)
 
 
-def reinhard_apply_ca(x, metrics, gamma, intensity, light_adapt,
-                      color_adapt, work_dtype, axis_name=None):
-  """ISP Reinhard with channels at axis -3 (works for planar (N,3,h,w)
-  and phase-form (N,4,3,hh,wh)). Same math as :func:`reinhard_apply`.
-  ``axis_name``: mesh axis holding spatial shards of each image — the
-  per-image max becomes a pmax collective."""
+def reinhard_map_ca(x, metrics, intensity, light_adapt, color_adapt):
+  """The pre-gamma Reinhard map with channels at axis -3: returns the
+  f32 ``p`` values (NaN pixels zeroed — CUDA atomicMax ignore-NaN
+  semantics, reference camera_isp.py:213). Split out so banded/sharded
+  drivers can insert the global per-image max reduction between the map
+  and the gamma stage."""
   m = metrics
   key = (m[3] - m[4]) / (m[3] - m[2])
   map_key = 0.3 + 0.7 * jnp.power(key, 1.4)
@@ -629,16 +664,30 @@ def reinhard_apply_ca(x, metrics, gamma, intensity, light_adapt,
   adapt_mean = lerp(light_adapt, mean, adapt_color)
   adapt = jnp.power(jnp.exp(-intensity) * adapt_mean, map_key)
   p = scaled * (1.0 / (adapt + scaled))
-  # NaN-ignoring max (CUDA atomicMax semantics, camera_isp.py:213)
-  p = jnp.where(jnp.isnan(p), 0.0, p)
+  return jnp.where(jnp.isnan(p), 0.0, p)
+
+
+def reinhard_gamma_ca(p_cast, max_out, gamma):
+  """Gamma stage: (p in working dtype, per-image max of the f32 p) -> u8
+  (reference camera_isp.py:211-218)."""
+  max_out = jnp.maximum(1e-6, max_out)
+  out = jnp.power(p_cast.astype(jnp.float32) / max_out, 1.0 / gamma)
+  return jnp.clip(255.0 * out, 0, 255).astype(jnp.uint8)
+
+
+def reinhard_apply_ca(x, metrics, gamma, intensity, light_adapt,
+                      color_adapt, work_dtype, axis_name=None):
+  """ISP Reinhard with channels at axis -3 (works for planar (N,3,h,w)
+  and phase-form (N,4,3,hh,wh)). Same math as :func:`reinhard_apply`.
+  ``axis_name``: mesh axis holding spatial shards of each image — the
+  per-image max becomes a pmax collective."""
+  p = reinhard_map_ca(x, metrics, intensity, light_adapt, color_adapt)
   p_cast = p.astype(types.canonical_dtype(work_dtype))
   axes = tuple(range(1, p.ndim))
   max_out = jnp.max(p, axis=axes, keepdims=True)
   if axis_name is not None:
     max_out = jax.lax.pmax(max_out, axis_name)
-  max_out = jnp.maximum(1e-6, max_out)
-  out = jnp.power(p_cast.astype(jnp.float32) / max_out, 1.0 / gamma)
-  return jnp.clip(255.0 * out, 0, 255).astype(jnp.uint8)
+  return reinhard_gamma_ca(p_cast, max_out, gamma)
 
 
 def linear_apply_ca(x, metrics, gamma):

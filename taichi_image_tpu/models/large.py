@@ -1,0 +1,196 @@
+"""Single-chip large-frame (e.g. 8K) ISP: sequential row-band driver.
+
+The reference processes any frame that fits GPU memory
+(camera_isp.py:333-340 takes arbitrary HxW). On this TPU environment a
+single fused 8K program exceeds what the compiler will build
+(docs/PERFORMANCE.md "Large frames"), so large frames run as a sequence
+of jitted ROW-BAND programs with the 1-phase-row demosaic halo overlapped
+between bands and the metering/tonemap global reductions staged across
+bands:
+
+  stage A  per band: decode + demosaic (+CCM)  -> x12 band (work dtype)
+           + the band's stride-aligned metering sample (tiny)
+  stage B  once: EMA metering over the concatenated samples — identical
+           numbers to the unbanded step (band starts are aligned to the
+           metering grid)
+  stage C  per band: Reinhard map -> p band (work dtype) + band max
+  stage D  once: per-image max over band maxes
+  stage E  per band: gamma + u8 + interleave (or I420 conversion)
+
+Every stage's program is band-sized, so compile size stays at ~1/n_bands
+of the frame; band shapes repeat, so each stage compiles once (stage A
+twice more for the first/last band's edge-renorm gating). Outputs are
+bitwise what the unbanded ``fused_isp_step`` produces with the same conv
+backend (tests/test_large.py pins this).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from taichi_image_tpu import types
+from taichi_image_tpu.models.camera_isp import (linear_apply_ca,
+                                                load_raw_phases,
+                                                metering_update_ca,
+                                                reinhard_gamma_ca,
+                                                reinhard_map_ca,
+                                                yuv420_from_phases_u8)
+from taichi_image_tpu.ops.bayer import (_demosaic_tables,
+                                        edge_renorm_factor,
+                                        phases_to_planar)
+
+__all__ = ["process_banded", "band_plan"]
+
+
+def band_plan(hh: int, n_bands: int, stride: int = 8):
+  """Split hh half-res rows into bands whose starts align to the
+  half-res metering grid (stride//2). Returns [(r0, r1), ...]."""
+  q = max(stride // 2, 1)
+  n_bands = max(1, min(n_bands, hh // q if hh >= q else 1))
+  per = (-(-hh // n_bands) + q - 1) // q * q  # round band size up to q
+  edges = []
+  r = 0
+  while r < hh:
+    edges.append((r, min(r + per, hh)))
+    r += per
+  return edges
+
+
+@partial(jax.jit, static_argnames=("fmt", "ids_format", "work_dtype",
+                                   "pattern", "cc", "stride", "is_top",
+                                   "is_bot"))
+def _band_demosaic(raw_band, fmt, ids_format, work_dtype, pattern, cc,
+                   stride, is_top, is_bot):
+  """Decode + demosaic one band. ``raw_band`` covers the band's full-res
+  rows plus one phase row (2 full-res rows) of halo on each side (zeros
+  at the true image edges — drop-tap semantics via the gated edge
+  factors)."""
+  wd = types.canonical_dtype(work_dtype)
+  phases = load_raw_phases(raw_band, fmt, work_dtype, ids_format)
+  n, _, hb2, wh = phases.shape
+  hb = hb2 - 2
+  weights = _demosaic_tables(pattern, "mhc")
+  num = jax.lax.conv_general_dilated(
+      phases.astype(jnp.float32), jnp.asarray(weights), (1, 1),
+      ((0, 0), (1, 1)),  # rows VALID (halo provides context), cols pad
+      dimension_numbers=("NCHW", "OIHW", "NCHW"),
+      precision=jax.lax.Precision.HIGHEST,
+      preferred_element_type=jnp.float32)
+  full = weights.sum(axis=(1, 2, 3))
+  out = num * jnp.asarray(1.0 / full, jnp.float32)[None, :, None, None]
+  out = out * edge_renorm_factor(weights, hb, wh, is_top=is_top,
+                                 is_bot=is_bot)
+  if cc is not None:
+    ccm = jnp.asarray(np.array(cc, np.float32).reshape(3, 3))
+    x = out.reshape(n, 4, 3, hb, wh)
+    x = jnp.einsum("npchw,dc->npdhw", x, ccm,
+                   precision=jax.lax.Precision.HIGHEST)
+    out = x.reshape(n, 12, hb, wh)
+  x12 = jnp.clip(out, 0.0, 1.0).astype(wd)
+  sample = x12[:, 0:3, ::max(stride // 2, 1), ::max(stride // 2, 1)]
+  return x12, sample
+
+
+@partial(jax.jit, donate_argnums=(1,))
+def _jit_metering_bands(samples, prev, t, n_total):
+  return metering_update_ca(samples, prev, t, n_total=n_total)
+
+
+@partial(jax.jit, static_argnames=("work_dtype",), donate_argnums=(0,))
+def _band_reinhard_map(x12, metrics, intensity, light_adapt, color_adapt,
+                       work_dtype):
+  n, _, hb, wh = x12.shape
+  p = reinhard_map_ca(x12.reshape(n, 4, 3, hb, wh), metrics, intensity,
+                      light_adapt, color_adapt)
+  band_max = jnp.max(p, axis=tuple(range(1, p.ndim)), keepdims=True)
+  return p.astype(types.canonical_dtype(work_dtype)), band_max
+
+
+@partial(jax.jit, static_argnames=("color_format",), donate_argnums=(0,))
+def _band_reinhard_gamma(p_cast, max_out, gamma, color_format):
+  n, q, hb, wh = p_cast.shape[0], 12, p_cast.shape[-2], p_cast.shape[-1]
+  out12 = reinhard_gamma_ca(p_cast, max_out, gamma).reshape(n, q, hb, wh)
+  if color_format == "yuv420":
+    return yuv420_from_phases_u8(out12)
+  return phases_to_planar(out12, jnp.float32).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("color_format",), donate_argnums=(0,))
+def _band_linear(x12, metrics, gamma, color_format):
+  n, q, hb, wh = x12.shape
+  out12 = linear_apply_ca(x12.reshape(n, 4, 3, hb, wh),
+                          metrics, gamma).reshape(n, q, hb, wh)
+  if color_format == "yuv420":
+    return yuv420_from_phases_u8(out12)
+  return phases_to_planar(out12, jnp.float32).astype(jnp.uint8)
+
+
+def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
+                   ids_format=False, work_dtype, pattern, cc=None,
+                   stride=8, gamma=1.0, intensity=1.0, light_adapt=1.0,
+                   color_adapt=0.0, tonemap="reinhard",
+                   color_format="rgb"):
+  """Run the fused ISP pipeline over ``n_bands`` sequential row bands.
+
+  Same arguments/semantics as ``fused_isp_step`` (no resize/transform;
+  those recompose on the assembled output if needed). Returns
+  ``(metrics, planar u8 (N, 3, H, W))`` or the I420 pair for
+  ``color_format='yuv420'``.
+  """
+  if tonemap not in ("reinhard", "linear"):
+    raise ValueError(f"unknown tonemap {tonemap}")
+  if color_format not in ("rgb", "yuv420"):
+    raise ValueError(f"unknown color_format {color_format!r}")
+  if stride % 2 != 0:
+    raise ValueError("banded processing needs an even metering stride")
+  raws = jnp.asarray(raws)
+  h = raws.shape[-2]
+  bands = band_plan(h // 2, n_bands, stride)
+  wd = types.canonical_dtype(work_dtype)
+
+  # one phase row (= 2 full-res raw rows) of halo; zeros at image edges
+  raws_p = jnp.pad(raws, ((0, 0), (2, 2), (0, 0)))
+
+  x12_bands, samples = [], []
+  for i, (r0, r1) in enumerate(bands):
+    raw_band = raws_p[:, 2 * r0:2 * r1 + 4]
+    x12, sample = _band_demosaic(
+        raw_band, fmt, ids_format, wd, pattern, cc, stride,
+        is_top=(i == 0), is_bot=(i == len(bands) - 1))
+    x12_bands.append(x12)
+    samples.append(sample)
+
+  sample_all = jnp.concatenate(samples, axis=2)
+  n_total = (sample_all.shape[0] * sample_all.shape[2]
+             * sample_all.shape[3])
+  prev = jnp.array(np.asarray(prev), jnp.float32)  # fresh donatable copy
+  metrics = _jit_metering_bands(sample_all, prev, jnp.float32(t),
+                                n_total)
+
+  outs = []
+  if tonemap == "linear":
+    for x12 in x12_bands:
+      outs.append(_band_linear(x12, metrics, jnp.float32(gamma),
+                               color_format))
+  else:
+    p_bands, maxes = [], []
+    for x12 in x12_bands:
+      p_cast, band_max = _band_reinhard_map(
+          x12, metrics, jnp.float32(intensity), jnp.float32(light_adapt),
+          jnp.float32(color_adapt), wd)
+      p_bands.append(p_cast)
+      maxes.append(band_max)
+    max_out = jnp.max(jnp.stack(maxes), axis=0)
+    for p_cast in p_bands:
+      outs.append(_band_reinhard_gamma(p_cast, max_out,
+                                       jnp.float32(gamma), color_format))
+
+  if color_format == "yuv420":
+    y = jnp.concatenate([o[0] for o in outs], axis=1)
+    uv = jnp.concatenate([o[1] for o in outs], axis=2)
+    return metrics, (y, uv)
+  return metrics, jnp.concatenate(outs, axis=2)

@@ -1,0 +1,90 @@
+"""Banded large-frame driver tests: band outputs must equal the unbanded
+fused step (models/large.py; reference parity: camera_isp.py takes
+arbitrary HxW)."""
+
+import numpy as np
+import pytest
+
+from taichi_image_tpu.models.camera_isp import Camera16, Camera32
+from taichi_image_tpu.models import large
+from taichi_image_tpu.ops.bayer import BayerPattern
+
+
+def _raws(n=2, h=64, w=96, seed=0):
+  rng = np.random.default_rng(seed)
+  return rng.integers(0, 256, size=(n, h, w * 3 // 2), dtype=np.uint8)
+
+
+def test_band_plan_alignment():
+  assert large.band_plan(32, 4) == [(0, 8), (8, 16), (16, 24), (24, 32)]
+  # non-divisible: starts stay multiples of stride//2 = 4
+  plan = large.band_plan(36, 4)
+  assert plan[0][0] == 0 and plan[-1][1] == 36
+  for r0, _ in plan:
+    assert r0 % 4 == 0
+  # degenerate: more bands than rows
+  assert large.band_plan(4, 16) == [(0, 4)]
+
+
+@pytest.mark.parametrize("camera_cls", [Camera32, Camera16])
+@pytest.mark.parametrize("n_bands", [2, 3])
+def test_banded_matches_unbanded(camera_cls, n_bands):
+  raws = _raws()
+  a = camera_cls(BayerPattern.RGGB, moving_alpha=0.2)
+  b = camera_cls(BayerPattern.RGGB, moving_alpha=0.2)
+  # two steps so the EMA chain (t=0 then t=1-alpha) is exercised
+  for seed in (0, 1):
+    raws = _raws(seed=seed)
+    want = np.asarray(a.process(raws, gamma=0.8, intensity=0.9))
+    got = np.asarray(b.process_large(raws, n_bands=n_bands, gamma=0.8,
+                                     intensity=0.9))
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_allclose(np.asarray(b.metrics), np.asarray(a.metrics),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_banded_with_ccm_and_pattern():
+  raws = _raws()
+  kw = dict(correct_colors=True, moving_alpha=0.3)
+  a = Camera32(BayerPattern.BGGR, **kw)
+  b = Camera32(BayerPattern.BGGR, **kw)
+  want = np.asarray(a.process(raws))
+  got = np.asarray(b.process_large(raws, n_bands=4))
+  np.testing.assert_array_equal(got, want)
+
+
+def test_banded_linear_tonemap():
+  raws = _raws()
+  a = Camera32(BayerPattern.RGGB)
+  b = Camera32(BayerPattern.RGGB)
+  want = np.asarray(a.process(raws, tonemap="linear", gamma=0.7))
+  got = np.asarray(b.process_large(raws, n_bands=2, tonemap="linear",
+                                   gamma=0.7))
+  np.testing.assert_array_equal(got, want)
+
+
+def test_banded_yuv420():
+  raws = _raws()
+  a = Camera32(BayerPattern.RGGB)
+  b = Camera32(BayerPattern.RGGB)
+  wy, wuv = a.process(raws, color_format="yuv420")
+  gy, guv = b.process_large(raws, n_bands=2, color_format="yuv420")
+  np.testing.assert_array_equal(np.asarray(gy), np.asarray(wy))
+  np.testing.assert_array_equal(np.asarray(guv), np.asarray(wuv))
+
+
+def test_banded_rejects_resize_and_transform():
+  from taichi_image_tpu.ops.interpolate import ImageTransform
+  raws = _raws()
+  with pytest.raises(ValueError, match="resize"):
+    Camera32(BayerPattern.RGGB, resize_width=48).process_large(raws)
+  with pytest.raises(ValueError, match="transform"):
+    Camera32(BayerPattern.RGGB,
+             transform=ImageTransform.rotate_90).process_large(raws)
+
+
+def test_banded_hwc_layout():
+  raws = _raws()
+  out = Camera32(BayerPattern.RGGB).process_large(raws, n_bands=2,
+                                                  layout="hwc")
+  assert out.shape == (2, 64, 96, 3) and out.dtype == np.uint8
