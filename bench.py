@@ -9,6 +9,16 @@ finishing in a scalar checksum fetched to host — async dispatch and the
 axon tunnel cannot hide device time behind an unreliable
 block_until_ready.
 
+ROUND-1 FLAW, FIXED HERE: the round-1 harness perturbed inputs with
+``raws ^ (i & 1)`` (two distinct values) and summed only the LAST
+iteration's output. XLA CSE'd decode+demosaic across same-input
+iterations and dead-code-eliminated the tonemap for all but the last, so
+BENCH_r01's 634.76 f/s measured only ~2 decodes + K metering updates +
+ONE tonemap (true per-step cost then: ~44 ms ≈ 136 f/s, see
+docs/PERFORMANCE.md "honest stage table"). This harness XORs a DISTINCT
+byte into every iteration's input and accumulates every iteration's
+output into the checksum, so nothing can be CSE'd or eliminated.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
@@ -24,9 +34,10 @@ from functools import partial
 
 import numpy as np
 
-# measured on this machine (2026-08-16): fused 6x4K f16 planar ISP step on
-# the JAX CPU backend, 1 core (see BASELINE.md "build baselines")
-CPU_BASELINE_FPS = 0.93
+# measured on this machine (2026-08-16, FIXED harness — distinct inputs
+# per iteration, every output consumed): fused 6x4K f16 planar ISP step
+# on the JAX CPU backend, 1 core (see BASELINE.md "build baselines")
+CPU_BASELINE_FPS = 0.697
 
 N_CAMERAS = 6
 H, W = 2160, 3840
@@ -49,14 +60,16 @@ def main():
 
   @jax.jit
   def steps(m, raws):
-    out = None
+    acc = jnp.int32(0)
     for i in range(K):
+      # distinct input per iteration (no CSE); every output consumed (no DCE)
       m, out = fused_isp_step(
-          raws ^ jnp.uint8(i & 1), m, jnp.float32(0.9), jnp.float32(0.6),
-          jnp.float32(1.0), jnp.float32(1.0), jnp.float32(0.0),
+          raws ^ jnp.uint8(i), m, jnp.float32(0.9), 1.0,
+          1.0, 1.0, 0.0,
           "packed12", False, types.f16, BayerPattern.RGGB, None, None, 8,
           ImageTransform.none, "reinhard")
-    return m, jnp.sum(out, dtype=jnp.int32)
+      acc = acc + jnp.sum(out, dtype=jnp.int32)
+    return m, acc
 
   m0 = jnp.zeros(9, jnp.float32)
 

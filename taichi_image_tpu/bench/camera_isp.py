@@ -41,12 +41,14 @@ def main(argv=None):
   out = isp.process(raws, gamma=0.6)
   for _ in range(args.warmup):
     out = isp.process(raws, gamma=0.6)
-  jax.block_until_ready(out)
+  _ = np.asarray(out)  # block_until_ready can lie through the axon tunnel
 
   with Benchmark("camera_isp 6x4K", args.iterations) as b:
     for _ in range(args.iterations):
       out = isp.process(raws, gamma=0.6)
-    jax.block_until_ready(out)
+    # fetch real bytes: each step consumed the previous EMA metrics, so
+    # materializing the last output fences the whole chain
+    _ = np.asarray(out)
 
   fps = args.iterations * args.cameras / b.elapsed
   print(f"full ISP: {fps:.1f} frames/s "

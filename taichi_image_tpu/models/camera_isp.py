@@ -112,14 +112,19 @@ def reinhard_apply(image, metrics, gamma, intensity, light_adapt,
   log_min, log_max, log_mean = m[2], m[3], m[4]
   key = (log_max - log_mean) / (log_max - log_min)
   map_key = 0.3 + 0.7 * jnp.power(key, 1.4)
-  mean = lerp(color_adapt, m[5], m[6:9])
 
   x = image.astype(jnp.float32)
   scaled = (x - m[0]) / (m[1] - m[0])
   gray = rgb_gray(scaled)[..., None]
-  adapt_color = lerp(color_adapt, gray, scaled)
-  adapt_mean = lerp(light_adapt, mean, adapt_color)
-  adapt = jnp.power(jnp.exp(-intensity) * adapt_mean, map_key)
+  if isinstance(color_adapt, float) and color_adapt == 0.0:
+    # exact per-pixel specialization (see reinhard_map_ca)
+    adapt_mean = lerp(light_adapt, m[5], gray)
+    adapt = jnp.power(jnp.exp(-intensity) * adapt_mean, map_key)
+  else:
+    mean = lerp(color_adapt, m[5], m[6:9])
+    adapt_color = lerp(color_adapt, gray, scaled)
+    adapt_mean = lerp(light_adapt, mean, adapt_color)
+    adapt = jnp.power(jnp.exp(-intensity) * adapt_mean, map_key)
   p = scaled * (1.0 / (adapt + scaled))
 
   # Dark pixels below the EMA bounds give scaled < 0 and the pow above
@@ -133,7 +138,9 @@ def reinhard_apply(image, metrics, gamma, intensity, light_adapt,
   p_cast = p.astype(types.canonical_dtype(work_dtype))
   axes = tuple(range(p.ndim - 3, p.ndim))  # per-image max over (h, w, c)
   max_out = jnp.maximum(1e-6, jnp.max(p, axis=axes, keepdims=True))
-  out = jnp.power(p_cast.astype(jnp.float32) / max_out, 1.0 / gamma)
+  out = p_cast.astype(jnp.float32) / max_out
+  if not (isinstance(gamma, float) and gamma == 1.0):
+    out = jnp.power(out, 1.0 / gamma)
   return jnp.clip(255.0 * out, 0, 255).astype(jnp.uint8)
 
 
@@ -141,7 +148,9 @@ def linear_apply(image, metrics, gamma):
   """ISP-variant linear tonemap (reference camera_isp.py:220-227)."""
   x = image.astype(jnp.float32)
   inv_range = 1.0 / (metrics[1] - metrics[0])
-  y = jnp.power(jnp.clip((x - metrics[0]) * inv_range, 0.0, None), 1.0 / gamma)
+  y = jnp.clip((x - metrics[0]) * inv_range, 0.0, None)
+  if not (isinstance(gamma, float) and gamma == 1.0):
+    y = jnp.power(y, 1.0 / gamma)
   return jnp.clip(jnp.clip(y, 0.0, 1.0) * 255.0, 0, 255).astype(jnp.uint8)
 
 
@@ -395,8 +404,8 @@ class _ISPBase:
                    color_adapt):
     """Tonemap one image with explicit metrics (camera_isp.py:387-390)."""
     out = _jit_reinhard(jnp.asarray(image)[None], jnp.asarray(metrics),
-                        jnp.float32(gamma), jnp.float32(intensity),
-                        jnp.float32(light_adapt), jnp.float32(color_adapt),
+                        float(gamma), float(intensity),
+                        float(light_adapt), float(color_adapt),
                         self._work_dtype, self.transform)
     return out[0]
 
@@ -407,9 +416,9 @@ class _ISPBase:
     (reference camera_isp.py:394-403)."""
     self.update_metering(images)
     batch = jnp.stack([jnp.asarray(im) for im in images])
-    out = _jit_reinhard(batch, self.metrics, jnp.float32(gamma),
-                        jnp.float32(intensity), jnp.float32(light_adapt),
-                        jnp.float32(color_adapt), self._work_dtype,
+    out = _jit_reinhard(batch, self.metrics, float(gamma),
+                        float(intensity), float(light_adapt),
+                        float(color_adapt), self._work_dtype,
                         self.transform)
     return list(out)
 
@@ -417,8 +426,7 @@ class _ISPBase:
     """Reference camera_isp.py:405-413."""
     self.update_metering(images)
     batch = jnp.stack([jnp.asarray(im) for im in images])
-    out = _jit_linear(batch, self.metrics, jnp.float32(gamma),
-                      self.transform)
+    out = _jit_linear(batch, self.metrics, float(gamma), self.transform)
     return list(out)
 
   # -- fused TPU-native step ----------------------------------------------
@@ -451,9 +459,8 @@ class _ISPBase:
     step = (_jit_fused_step_checked if debug_util.debug_enabled()
             else _jit_fused_step)
     new_metrics, out = step(
-        raws, prev, jnp.float32(t), jnp.float32(gamma),
-        jnp.float32(intensity), jnp.float32(light_adapt),
-        jnp.float32(color_adapt),
+        raws, prev, jnp.float32(t), float(gamma),
+        float(intensity), float(light_adapt), float(color_adapt),
         fmt, ids_format, self._work_dtype, self.bayer_pattern,
         self._cc_tuple(), self._resize_plan_key(raws, fmt),
         self.metering_stride, self.transform, tonemap,
@@ -546,7 +553,14 @@ def _jit_metering(batch, prev, t):
   return metering_update(batch, prev, t)
 
 
-@partial(jax.jit, static_argnames=("work_dtype", "transform"))
+# The tonemap scalars are STATIC Python floats: constant per rig in
+# practice, and staticness lets the exact specializations in
+# reinhard_apply/reinhard_map_ca (per-pixel adapt for color_adapt == 0,
+# no pow for gamma == 1 — the reference defaults) fire. A new value costs
+# one retrace.
+@partial(jax.jit, static_argnames=("gamma", "intensity", "light_adapt",
+                                   "color_adapt", "work_dtype",
+                                   "transform"))
 def _jit_reinhard(batch, metrics, gamma, intensity, light_adapt,
                   color_adapt, work_dtype, transform):
   out = reinhard_apply(batch, metrics, gamma, intensity, light_adapt,
@@ -554,7 +568,7 @@ def _jit_reinhard(batch, metrics, gamma, intensity, light_adapt,
   return _transform_batch(out, transform)
 
 
-@partial(jax.jit, static_argnames=("transform",))
+@partial(jax.jit, static_argnames=("gamma", "transform"))
 def _jit_linear(batch, metrics, gamma, transform):
   out = linear_apply(batch, metrics, gamma)
   return _transform_batch(out, transform)
@@ -647,31 +661,46 @@ def reinhard_map_ca(x, metrics, intensity, light_adapt, color_adapt):
   f32 ``p`` values (NaN pixels zeroed — CUDA atomicMax ignore-NaN
   semantics, reference camera_isp.py:213). Split out so banded/sharded
   drivers can insert the global per-image max reduction between the map
-  and the gamma stage."""
+  and the gamma stage.
+
+  When ``color_adapt`` is the Python float 0.0 (the reference default),
+  the adapt chain is computed once per PIXEL instead of per channel —
+  bitwise-identical (with ca == 0, ``lerp(0, a, b) == a`` exactly for
+  finite b, so all three channels' adapt values coincide) but with 3x
+  fewer pow/exp evaluations, which dominate the tonemap cost on the VPU.
+  """
   m = metrics
   key = (m[3] - m[4]) / (m[3] - m[2])
   map_key = 0.3 + 0.7 * jnp.power(key, 1.4)
-  cdims = (1,) * (x.ndim - 3)
-  mean = lerp(color_adapt, m[5],
-              m[6:9].reshape(cdims + (3, 1, 1)))
 
   xf = x.astype(jnp.float32)
   scaled = (xf - m[0]) / (m[1] - m[0])
   r, g, bch = (scaled[..., 0, :, :], scaled[..., 1, :, :],
                scaled[..., 2, :, :])
   gray = (0.299 * r + 0.587 * g + 0.114 * bch)[..., None, :, :]
-  adapt_color = lerp(color_adapt, gray, scaled)
-  adapt_mean = lerp(light_adapt, mean, adapt_color)
-  adapt = jnp.power(jnp.exp(-intensity) * adapt_mean, map_key)
+  if isinstance(color_adapt, float) and color_adapt == 0.0:
+    adapt_mean = lerp(light_adapt, m[5], gray)       # per pixel
+    adapt = jnp.power(jnp.exp(-intensity) * adapt_mean, map_key)
+  else:
+    cdims = (1,) * (x.ndim - 3)
+    mean = lerp(color_adapt, m[5],
+                m[6:9].reshape(cdims + (3, 1, 1)))
+    adapt_color = lerp(color_adapt, gray, scaled)
+    adapt_mean = lerp(light_adapt, mean, adapt_color)
+    adapt = jnp.power(jnp.exp(-intensity) * adapt_mean, map_key)
   p = scaled * (1.0 / (adapt + scaled))
   return jnp.where(jnp.isnan(p), 0.0, p)
 
 
 def reinhard_gamma_ca(p_cast, max_out, gamma):
   """Gamma stage: (p in working dtype, per-image max of the f32 p) -> u8
-  (reference camera_isp.py:211-218)."""
+  (reference camera_isp.py:211-218). ``gamma`` as the Python float 1.0
+  (the reference default) skips the pow entirely (IEEE pow(x, 1) == x,
+  and numpy's oracle agrees exactly)."""
   max_out = jnp.maximum(1e-6, max_out)
-  out = jnp.power(p_cast.astype(jnp.float32) / max_out, 1.0 / gamma)
+  out = p_cast.astype(jnp.float32) / max_out
+  if not (isinstance(gamma, float) and gamma == 1.0):
+    out = jnp.power(out, 1.0 / gamma)
   return jnp.clip(255.0 * out, 0, 255).astype(jnp.uint8)
 
 
@@ -694,8 +723,9 @@ def linear_apply_ca(x, metrics, gamma):
   """ISP linear tonemap, layout-agnostic elementwise."""
   xf = x.astype(jnp.float32)
   inv_range = 1.0 / (metrics[1] - metrics[0])
-  y = jnp.power(jnp.clip((xf - metrics[0]) * inv_range, 0.0, None),
-                1.0 / gamma)
+  y = jnp.clip((xf - metrics[0]) * inv_range, 0.0, None)
+  if not (isinstance(gamma, float) and gamma == 1.0):
+    y = jnp.power(y, 1.0 / gamma)
   return jnp.clip(jnp.clip(y, 0.0, 1.0) * 255.0, 0, 255).astype(jnp.uint8)
 
 
@@ -827,8 +857,19 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
           (phases.astype(jnp.float32) >= 0.0).all()
           & (phases.astype(jnp.float32) <= 1.0).all(),
           "decoded CFA values escape [0, 1] — corrupt raw or wrong format")
-  x12 = demosaic_phases(phases, pattern, cc=cc,
-                        out_dtype=types.canonical_dtype(work_dtype))
+  # In the no-resize even-stride path the metering sample grid is emitted
+  # by the demosaic itself (Pallas: in-kernel MXU dots; XLA fallback: a
+  # strided slice) — a strided gather of the finished x12 costs ~13 ms at
+  # 6x4K on TPU.
+  want_sample = resize_plan is None and stride % 2 == 0
+  if want_sample:
+    x12, strided_sample = demosaic_phases(
+        phases, pattern, cc=cc,
+        out_dtype=types.canonical_dtype(work_dtype),
+        sample_step=max(stride // 2, 1))
+  else:
+    x12 = demosaic_phases(phases, pattern, cc=cc,
+                          out_dtype=types.canonical_dtype(work_dtype))
 
   def _meter(strided):
     m = metering_update_ca(strided, prev, t, axis_name=axis_name,
@@ -866,8 +907,7 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
   else:
     n, _, hh, wh = x12.shape
     # full-res stride-8 pixels are exactly phase (0,0) at half-res stride 4
-    strided = x12[:, 0:3, ::stride // 2, ::stride // 2]
-    new_metrics = _meter(strided)
+    new_metrics = _meter(strided_sample)
     if tonemap == "reinhard":
       out12 = reinhard_apply_ca(x12.reshape(n, 4, 3, hh, wh), new_metrics,
                                 gamma, intensity, light_adapt, color_adapt,
@@ -881,10 +921,7 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
       # fast path: convert from phase form, no interleaved intermediate
       return new_metrics, yuv420_from_phases_u8(
           out12.reshape(n, 12, hh, wh))
-    # u8 values are exact in f32, and the interleave conv is one-hot, so
-    # assembling after the cast is lossless
-    out = phases_to_planar(out12.reshape(n, 12, hh, wh),
-                           jnp.float32).astype(jnp.uint8)
+    out = phases_to_planar(out12.reshape(n, 12, hh, wh))
   out = _transform_planar(out, transform)
   if color_format == "yuv420":
     return new_metrics, yuv420_from_planar_u8(out)
@@ -893,9 +930,13 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
   return new_metrics, out
 
 
-@partial(jax.jit, static_argnames=(
-    "fmt", "ids_format", "work_dtype", "pattern", "cc", "resize_plan",
-    "stride", "transform", "tonemap", "color_format"), donate_argnums=(1,))
+_FUSED_STATIC = ("gamma", "intensity", "light_adapt", "color_adapt",
+                 "fmt", "ids_format", "work_dtype", "pattern", "cc",
+                 "resize_plan", "stride", "transform", "tonemap",
+                 "color_format")
+
+
+@partial(jax.jit, static_argnames=_FUSED_STATIC, donate_argnums=(1,))
 def _jit_fused_step(raws, prev, t, gamma, intensity, light_adapt,
                     color_adapt, fmt, ids_format, work_dtype, pattern, cc,
                     resize_plan, stride, transform, tonemap,
@@ -910,9 +951,7 @@ def _jit_fused_step(raws, prev, t, gamma, intensity, light_adapt,
 # invariants, no donation (checkify threads an error value through).
 _jit_fused_step_checked = debug_util.checked_jit(
     partial(fused_isp_step, debug_checks=True),
-    static_argnames=("fmt", "ids_format", "work_dtype", "pattern", "cc",
-                     "resize_plan", "stride", "transform", "tonemap",
-                     "color_format"))
+    static_argnames=_FUSED_STATIC)
 
 
 def camera_isp(name: str, dtype=types.f32):

@@ -100,7 +100,9 @@ def _jit_metering_bands(samples, prev, t, n_total):
   return metering_update_ca(samples, prev, t, n_total=n_total)
 
 
-@partial(jax.jit, static_argnames=("work_dtype",), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("intensity", "light_adapt",
+                                   "color_adapt", "work_dtype"),
+         donate_argnums=(0,))
 def _band_reinhard_map(x12, metrics, intensity, light_adapt, color_adapt,
                        work_dtype):
   n, _, hb, wh = x12.shape
@@ -110,23 +112,25 @@ def _band_reinhard_map(x12, metrics, intensity, light_adapt, color_adapt,
   return p.astype(types.canonical_dtype(work_dtype)), band_max
 
 
-@partial(jax.jit, static_argnames=("color_format",), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("gamma", "color_format"),
+         donate_argnums=(0,))
 def _band_reinhard_gamma(p_cast, max_out, gamma, color_format):
   n, q, hb, wh = p_cast.shape[0], 12, p_cast.shape[-2], p_cast.shape[-1]
   out12 = reinhard_gamma_ca(p_cast, max_out, gamma).reshape(n, q, hb, wh)
   if color_format == "yuv420":
     return yuv420_from_phases_u8(out12)
-  return phases_to_planar(out12, jnp.float32).astype(jnp.uint8)
+  return phases_to_planar(out12)
 
 
-@partial(jax.jit, static_argnames=("color_format",), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("gamma", "color_format"),
+         donate_argnums=(0,))
 def _band_linear(x12, metrics, gamma, color_format):
   n, q, hb, wh = x12.shape
   out12 = linear_apply_ca(x12.reshape(n, 4, 3, hb, wh),
                           metrics, gamma).reshape(n, q, hb, wh)
   if color_format == "yuv420":
     return yuv420_from_phases_u8(out12)
-  return phases_to_planar(out12, jnp.float32).astype(jnp.uint8)
+  return phases_to_planar(out12)
 
 
 def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
@@ -174,20 +178,19 @@ def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
   outs = []
   if tonemap == "linear":
     for x12 in x12_bands:
-      outs.append(_band_linear(x12, metrics, jnp.float32(gamma),
-                               color_format))
+      outs.append(_band_linear(x12, metrics, float(gamma), color_format))
   else:
     p_bands, maxes = [], []
     for x12 in x12_bands:
       p_cast, band_max = _band_reinhard_map(
-          x12, metrics, jnp.float32(intensity), jnp.float32(light_adapt),
-          jnp.float32(color_adapt), wd)
+          x12, metrics, float(intensity), float(light_adapt),
+          float(color_adapt), wd)
       p_bands.append(p_cast)
       maxes.append(band_max)
     max_out = jnp.max(jnp.stack(maxes), axis=0)
     for p_cast in p_bands:
-      outs.append(_band_reinhard_gamma(p_cast, max_out,
-                                       jnp.float32(gamma), color_format))
+      outs.append(_band_reinhard_gamma(p_cast, max_out, float(gamma),
+                                       color_format))
 
   if color_format == "yuv420":
     y = jnp.concatenate([o[0] for o in outs], axis=1)

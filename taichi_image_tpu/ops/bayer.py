@@ -290,8 +290,43 @@ def _edge_renorm(x, weights, hh, wh):
   return x * edge_renorm_factor(weights, hh, wh)
 
 
+def edge_renorm_factor_sampled(weights, hh, wh, step):
+  """:func:`edge_renorm_factor` evaluated on the (::step, ::step) sample
+  grid, replicating its exact f32 arithmetic (same divisions, same
+  multiply chains) so that ``x12[..., ::step, ::step]`` equals the
+  sampled path bitwise. Built in numpy (static edges), returned as a
+  (1, 12, hs, ws) jnp constant-expression."""
+  full, top, bottom, left, right = _edge_sums(weights, hh, wh)
+  t_mid, b_mid = top[:, 1], bottom[:, 1]
+  l_mid, r_mid = left[:, 1], right[:, 1]
+  tl, tr_ = top[:, 0], top[:, -1]
+  bl, br = bottom[:, 0], bottom[:, -1]
+
+  hs, ws = -(-hh // step), -(-wh // step)
+  rows = np.arange(hs) * step
+  cols = np.arange(ws) * step
+  on_top = rows == 0
+  on_bot = rows == hh - 1
+  one = np.float32(1.0)
+  rvf = (np.where(on_top[None, :], (full / t_mid)[:, None], one)
+         * np.where(on_bot[None, :], (full / b_mid)[:, None], one))
+  cv_full = np.ones((12, wh), np.float32)
+  cv_full[:, 0] = full / l_mid
+  cv_full[:, -1] = full / r_mid
+  cv = cv_full[:, cols]
+  f = rvf[:, :, None] * cv[:, None, :]
+  for corner, rvec, rmask, cpos in (
+      (tl, full / t_mid, on_top, 0), (tr_, full / t_mid, on_top, wh - 1),
+      (bl, full / b_mid, on_bot, 0), (br, full / b_mid, on_bot, wh - 1)):
+    cval = (full / corner) / (rvec * cv_full[:, cpos])
+    mask = rmask[:, None] & (cols == cpos)[None, :]
+    f = np.where(mask[None, :, :], f * cval[:, None, None], f)
+  return jnp.asarray(f[None].astype(np.float32))
+
+
 def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",
-                    out_dtype=jnp.float32, backend="auto"):
+                    out_dtype=jnp.float32, backend="auto",
+                    sample_step: int = 0):
   """Demosaic normalized phase planes (N, 4, hh, wh) float -> clamped
   (N, 12, hh, wh) phase-RGB in [0, 1].
 
@@ -302,6 +337,13 @@ def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",
   ``backend``: 'auto' uses the Pallas TPU stencil kernel when available
   (ops/pallas/demosaic.py — avoids XLA's pathologically padded conv
   layouts), else the XLA conv; 'xla' / 'pallas' force a path.
+
+  ``sample_step`` > 0: additionally return
+  ``out[:, 0:3, ::step, ::step]`` (the metering sample grid) as
+  ``(out, sample)``. On the Pallas path the sample is emitted by the
+  kernel via MXU one-hot dots — a strided read of the finished x12 costs
+  ~13 ms at 6x4K (minor-dim gather on TPU), the in-kernel emission is
+  free. Values are bitwise-identical either way.
   """
   n, _, hh, wh = phases.shape
   weights = _demosaic_tables(pattern, method)
@@ -310,12 +352,33 @@ def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",
   use_pallas = backend == "pallas" or (
       backend == "auto" and pallas_dm.pallas_available(hh, wh))
 
+  def finish(o):
+    """Shared cc+clip+cast tail; ``o`` has 3*k channels."""
+    if cc is not None:
+      ccm = jnp.asarray(np.array(cc, np.float32).reshape(3, 3))
+      k = o.shape[1] // 3
+      x = o.reshape(o.shape[0], k, 3, o.shape[2], o.shape[3])
+      x = jnp.einsum("npchw,dc->npdhw", x, ccm,
+                     precision=jax.lax.Precision.HIGHEST)
+      o = x.reshape(o.shape[0], k * 3, o.shape[2], o.shape[3])
+    return jnp.clip(o, 0.0, 1.0).astype(out_dtype)
+
+  samp = None
   if use_pallas:
-    tiles = pallas_dm.tiling_for(hh, wh)
-    assert tiles is not None, f"no pallas tiling for {(hh, wh)}"
-    num16 = pallas_dm.demosaic_stencil(phases.astype(jnp.float32), weights,
-                                       *tiles)
-    out = _edge_renorm(num16, weights, hh, wh)
+    tiles_s = (pallas_dm.tiling_for(hh, wh, sample_step)
+               if sample_step else None)
+    if tiles_s is not None:
+      num16, snum = pallas_dm.demosaic_stencil(
+          phases.astype(jnp.float32), weights, *tiles_s,
+          sample_step=sample_step)
+      samp = finish(snum * edge_renorm_factor_sampled(
+          weights, hh, wh, sample_step)[:, 0:3])
+    else:
+      tiles = pallas_dm.tiling_for(hh, wh)
+      assert tiles is not None, f"no pallas tiling for {(hh, wh)}"
+      num16 = pallas_dm.demosaic_stencil(phases.astype(jnp.float32),
+                                         weights, *tiles)
+    out = finish(_edge_renorm(num16, weights, hh, wh))
   elif hh >= 2 and wh >= 2:
     num = jax.lax.conv_general_dilated(
         phases.astype(jnp.float32), jnp.asarray(weights), (1, 1),
@@ -324,7 +387,7 @@ def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",
         preferred_element_type=jnp.float32)
     full = weights.sum(axis=(1, 2, 3))
     num16 = num * jnp.asarray(1.0 / full, jnp.float32)[None, :, None, None]
-    out = _edge_renorm(num16, weights, hh, wh)
+    out = finish(_edge_renorm(num16, weights, hh, wh))
   else:
     num = jax.lax.conv_general_dilated(
         phases.astype(jnp.float32), jnp.asarray(weights), (1, 1),
@@ -335,14 +398,12 @@ def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",
     denom = jax.lax.conv_general_dilated(
         ones, jnp.asarray(weights), (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    out = num / denom
-  if cc is not None:
-    ccm = jnp.asarray(np.array(cc, np.float32).reshape(3, 3))
-    x = out.reshape(n, 4, 3, hh, wh)
-    x = jnp.einsum("npchw,dc->npdhw", x, ccm,
-                   precision=jax.lax.Precision.HIGHEST)
-    out = x.reshape(n, 12, hh, wh)
-  return jnp.clip(out, 0.0, 1.0).astype(out_dtype)
+    out = finish(num / denom)
+  if not sample_step:
+    return out
+  if samp is None:
+    samp = out[:, 0:3, ::sample_step, ::sample_step]
+  return out, samp
 
 
 @cache
@@ -356,23 +417,28 @@ def _interleave_table_1ch():
 
 
 def phases_to_plane(x4, dtype=None):
-  """(N, 4, hh, wh) single-channel phases -> full-res (N, H, W) plane."""
-  out = jax.lax.conv_general_dilated(
-      x4.astype(jnp.float32), jnp.asarray(_interleave_table_1ch()), (1, 1),
-      ((1, 1), (1, 1)), lhs_dilation=(2, 2),
-      dimension_numbers=("NCHW", "OIHW", "NCHW"),
-      precision=jax.lax.Precision.HIGHEST)
-  return out[:, 0].astype(dtype or x4.dtype)
+  """(N, 4, hh, wh) single-channel phases -> full-res (N, H, W) plane.
+
+  Implemented as stack+reshape interleaves (exact — pure data movement,
+  no dtype roundtrip). The round-1 one-hot stride-2 transposed conv
+  computed identical values but cost ~3x more on TPU (16 vs 5.6 ms at
+  6x4K for the 12-channel variant; channel-minor conv layouts)."""
+  n, _, hh, wh = x4.shape
+  er = jnp.stack([x4[:, 0], x4[:, 2]], axis=-1).reshape(n, hh, 2 * wh)
+  orr = jnp.stack([x4[:, 1], x4[:, 3]], axis=-1).reshape(n, hh, 2 * wh)
+  out = jnp.stack([er, orr], axis=2).reshape(n, 2 * hh, 2 * wh)
+  return out.astype(dtype or x4.dtype)
 
 
 def phases_to_planar(x12, dtype=None):
-  """(N, 12, hh, wh) phase-RGB -> full-res planar (N, 3, H, W) via a
-  one-hot stride-2 transposed convolution (exact)."""
-  out = jax.lax.conv_general_dilated(
-      x12.astype(jnp.float32), jnp.asarray(_interleave_table()), (1, 1),
-      ((1, 1), (1, 1)), lhs_dilation=(2, 2),
-      dimension_numbers=("NCHW", "OIHW", "NCHW"),
-      precision=jax.lax.Precision.HIGHEST)
+  """(N, 12, hh, wh) phase-RGB -> full-res planar (N, 3, H, W) via
+  stack+reshape column/row interleaves (exact; see
+  :func:`phases_to_plane` for the perf note)."""
+  n, _, hh, wh = x12.shape
+  x = x12.reshape(n, 4, 3, hh, wh)
+  er = jnp.stack([x[:, 0], x[:, 2]], axis=-1).reshape(n, 3, hh, 2 * wh)
+  orr = jnp.stack([x[:, 1], x[:, 3]], axis=-1).reshape(n, 3, hh, 2 * wh)
+  out = jnp.stack([er, orr], axis=3).reshape(n, 3, 2 * hh, 2 * wh)
   return out.astype(dtype or x12.dtype)
 
 

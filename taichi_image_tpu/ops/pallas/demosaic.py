@@ -45,19 +45,25 @@ def _pick_tile(n: int, quantum: int, lo: int, hi: int):
   return best
 
 
-def tiling_for(hh: int, wh: int):
+def tiling_for(hh: int, wh: int, sample_step: int = 0):
   """(TR, TW) tile sizes, or None for shapes too small to tile.
 
   Arbitrary hh/wh are supported: the wrapper pads up to the tile grid
   and trims the output; tiles prefer exact divisors to minimize waste.
+
+  ``sample_step`` > 0 constrains tiles so the kernel's subsampled second
+  output still has Mosaic-legal (8, 128)-aligned blocks: TR a multiple of
+  8*step and TW a multiple of 128*step.
   """
-  if hh < 8 or wh < 128:
+  qr = 8 * max(sample_step, 1)
+  qc = 128 * max(sample_step, 1)
+  if hh < qr or wh < qc:
     return None
-  tw = _pick_tile(wh, 128, 128, 768)
+  tw = _pick_tile(wh, qc, qc, 768)
   if tw is None:
     return None
   tr = None
-  for cand in range(8, min(((hh + 7) // 8) * 8, 256) + 1, 8):
+  for cand in range(qr, min(((hh + qr - 1) // qr) * qr, 256) + 1, qr):
     vmem = 4 * (2 * (4 * (cand + 2 * _HALO_R) * (tw + 2 * _HALO_C))
                 + 2 * (12 * cand * tw))
     if vmem <= _VMEM_BUDGET and (tr is None or
@@ -70,10 +76,21 @@ def _waste(n: int, t: int) -> int:
   return -(-n // t) * t - n
 
 
-def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt,
-                    hbm_ref, out_ref, scratch, sems):
+def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
+                    *refs):
   """Double-buffered halo stencil: while tile t computes, tile t+1's halo
-  block is already in flight (DMA overlap measured +12%)."""
+  block is already in flight (DMA overlap measured +12%).
+
+  When ``sample_step`` is set, the kernel additionally emits the
+  stride-``sample_step`` subsample of output channels 0..2 (the metering
+  sample grid), compacted via one-hot MXU dots — strided reads of the
+  main output in XLA cost ~13 ms at 6x4K (minor-dim gather); this emits
+  the same values for free alongside the stencil.
+  """
+  if sample_step:
+    hbm_ref, rsel_ref, csel_ref, out_ref, samp_ref, scratch, sems = refs
+  else:
+    hbm_ref, out_ref, scratch, sems = refs
   t = pl.program_id(0)
 
   def src(tt):
@@ -110,14 +127,26 @@ def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt,
           a = s if a is None else a + s
     # interior normalization only; border strips are renormalized by
     # the XLA wrapper (exact drop-tap renorm, bayer.py edge strips)
-    out_ref[0, oc] = a * inv_full[oc]
+    val = a * inv_full[oc]
+    out_ref[0, oc] = val
+    if sample_step and oc < 3:
+      cols = jnp.dot(val, csel_ref[...],
+                     preferred_element_type=jnp.float32)
+      samp_ref[0, oc] = jnp.dot(rsel_ref[...], cols,
+                                preferred_element_type=jnp.float32)
 
 
 def demosaic_stencil(phases_f32, weights: np.ndarray, tr: int, tw: int,
-                     interpret: bool = False):
+                     interpret: bool = False, sample_step: int = 0):
   """(N, 4, hh, wh) f32 phases -> (N, 12, hh, wh) f32 num/full
   (unclamped, interior-normalized). ``weights`` is the (12, 4, 3, 3)
-  table."""
+  table.
+
+  ``sample_step`` > 0 additionally returns the stride-``sample_step``
+  row/col subsample of channels 0..2 (num/full values on the metering
+  grid): ``(out, sample (N, 3, ceil(hh/s), ceil(wh/s)))``. Requires
+  tr % sample_step == 0 and tw % sample_step == 0.
+  """
   n, _, hh, wh = phases_f32.shape
   ni, nj = -(-hh // tr), -(-wh // tw)
   nt = n * ni * nj
@@ -129,31 +158,61 @@ def demosaic_stencil(phases_f32, weights: np.ndarray, tr: int, tw: int,
                     (_HALO_C, _HALO_C + nj * tw - wh)))
   inv_full = tuple(float(1.0 / s) for s in weights.sum(axis=(1, 2, 3)))
   kernel = functools.partial(_stencil_kernel, weights, inv_full, tr, tw,
-                             ni, nj, nt)
+                             ni, nj, nt, sample_step)
 
   def out_map(t):
     nn = t // (ni * nj)
     r = t % (ni * nj)
     return (nn, 0, r // nj, r % nj)
 
-  out = pl.pallas_call(
+  out_shapes = [jax.ShapeDtypeStruct((n, 12, ni * tr, nj * tw),
+                                     jnp.float32)]
+  out_specs = [pl.BlockSpec((1, 12, tr, tw), out_map,
+                            memory_space=pltpu.VMEM)]
+  in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+  operands = [padded]
+  if sample_step:
+    s = sample_step
+    # Mosaic block legality for the sample output: (tr/s, tw/s) must be
+    # (8, 128)-aligned — guaranteed by tiling_for(hh, wh, sample_step)
+    assert (tr // s) % 8 == 0 and (tw // s) % 128 == 0, (tr, tw, s)
+    rsel = np.zeros((tr // s, tr), np.float32)
+    rsel[np.arange(tr // s), np.arange(0, tr, s)] = 1.0
+    csel = np.zeros((tw, tw // s), np.float32)
+    csel[np.arange(0, tw, s), np.arange(tw // s)] = 1.0
+    operands += [jnp.asarray(rsel), jnp.asarray(csel)]
+    in_specs += [pl.BlockSpec((tr // s, tr), lambda t: (0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((tw, tw // s), lambda t: (0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes.append(jax.ShapeDtypeStruct(
+        (n, 3, ni * tr // s, nj * tw // s), jnp.float32))
+    out_specs.append(pl.BlockSpec((1, 3, tr // s, tw // s), out_map,
+                                  memory_space=pltpu.VMEM))
+
+  res = pl.pallas_call(
       kernel,
-      out_shape=jax.ShapeDtypeStruct((n, 12, ni * tr, nj * tw),
-                                     jnp.float32),
+      out_shape=out_shapes,
       grid=(nt,),
-      in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-      out_specs=pl.BlockSpec((1, 12, tr, tw), out_map,
-                             memory_space=pltpu.VMEM),
+      in_specs=in_specs,
+      out_specs=out_specs,
       scratch_shapes=[
           pltpu.VMEM((2, 4, tr + 2 * _HALO_R, tw + 2 * _HALO_C),
                      jnp.float32),
           pltpu.SemaphoreType.DMA((2,)),
       ],
       interpret=interpret,
-  )(padded)
+  )(*operands)
+  out = res[0]
   if (ni * tr, nj * tw) != (hh, wh):
     out = out[:, :, :hh, :wh]
-  return out
+  if not sample_step:
+    return out
+  samp = res[1]
+  hs, ws = -(-hh // sample_step), -(-wh // sample_step)
+  if samp.shape[-2:] != (hs, ws):
+    samp = samp[:, :, :hs, :ws]
+  return out, samp
 
 
 def pallas_available(hh: int, wh: int) -> bool:

@@ -155,8 +155,7 @@ def make_spatial_isp_step(mesh: Mesh, *, fmt: str = "packed12",
     else:
       out12 = linear_apply_ca(x12.reshape(n, 4, 3, hh_l, wh), metrics,
                               gamma)
-    out = phases_to_planar(out12.reshape(n, 12, hh_l, wh),
-                           jnp.float32).astype(jnp.uint8)
+    out = phases_to_planar(out12.reshape(n, 12, hh_l, wh))
     return metrics, out
 
   sharded = jax.shard_map(
@@ -206,8 +205,7 @@ def make_grid_isp_step(mesh: Mesh, *, fmt: str = "packed12",
     else:
       out12 = linear_apply_ca(x12.reshape(n, 4, 3, hh_l, wh), metrics,
                               gamma)
-    out = phases_to_planar(out12.reshape(n, 12, hh_l, wh),
-                           jnp.float32).astype(jnp.uint8)
+    out = phases_to_planar(out12.reshape(n, 12, hh_l, wh))
     return metrics, out
 
   sharded = jax.shard_map(

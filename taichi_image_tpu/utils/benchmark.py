@@ -66,15 +66,22 @@ def benchmark(name: str,
   if progress is None:
     progress = lambda x: x
 
+  def fence(out):
+    # block_until_ready can return early through the axon tunnel
+    # (docs/PERFORMANCE.md); fetching real bytes cannot.
+    import numpy as np
+    for leaf in jax.tree_util.tree_leaves(out):
+      np.asarray(leaf)
+
   out = None
   for _ in progress(range(warmup)):
     out = func(*args, **kwargs)
   if out is not None:
-    jax.block_until_ready(out)
+    fence(out)
 
   with Benchmark(name, iterations) as b:
     for _ in progress(range(iterations)):
       out = func(*args, **kwargs)
     if out is not None:
-      jax.block_until_ready(out)
+      fence(out)
   return iterations / b.elapsed

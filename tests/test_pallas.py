@@ -65,3 +65,35 @@ def test_backend_param_equivalence(rng):
   b = np.asarray(bayer.demosaic_phases(phases, bayer.BayerPattern.RGGB,
                                        backend="auto"))
   np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("step", [4, 2])
+def test_stencil_sample_emission(step, rng):
+  """The kernel's MXU-dot sample output equals a strided slice of the
+  finished x12, bitwise (one-hot dots are exact)."""
+  hh, wh = 64, 512
+  phases = jnp.asarray(rng.random((2, 4, hh, wh), np.float32))
+  weights = bayer._demosaic_tables(bayer.BayerPattern.RGGB, "mhc")
+  tiles = pallas_dm.tiling_for(hh, wh, step)
+  assert tiles is not None
+  num, snum = pallas_dm.demosaic_stencil(phases, weights, *tiles,
+                                         interpret=True, sample_step=step)
+  np.testing.assert_array_equal(np.asarray(snum),
+                                np.asarray(num)[:, 0:3, ::step, ::step])
+  # and through the full demosaic wrapper incl. edge renorm + cc + cast
+  cc = tuple(np.asarray([[1.2, -0.1, 0.0], [0.0, 1.0, 0.0],
+                         [-0.2, 0.1, 1.1]], np.float32).flatten().tolist())
+  # wrap demosaic_stencil so the wrapper's pallas path runs interpreted
+  import taichi_image_tpu.ops.pallas.demosaic as dm
+  orig_stencil, orig_avail = dm.demosaic_stencil, dm.pallas_available
+  dm.pallas_available = lambda *a: True
+  import functools
+  dm.demosaic_stencil = functools.partial(orig_stencil, interpret=True)
+  try:
+    x12, samp = bayer.demosaic_phases(phases, bayer.BayerPattern.RGGB,
+                                      cc=cc, out_dtype=jnp.float16,
+                                      backend="pallas", sample_step=step)
+  finally:
+    dm.demosaic_stencil, dm.pallas_available = orig_stencil, orig_avail
+  np.testing.assert_array_equal(
+      np.asarray(samp), np.asarray(x12)[:, 0:3, ::step, ::step])
