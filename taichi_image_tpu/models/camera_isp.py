@@ -809,17 +809,26 @@ def yuv420_from_phases_u8(out12):
   from taichi_image_tpu.ops.color import _YUV_M, _YUV_OFFSET
   n, _, hh, wh = out12.shape
   x = out12.reshape(n, 4, 3, hh, wh).astype(jnp.float32) / 255.0
-  bgr = x[:, :, ::-1]
-  yuv = jnp.einsum("npchw,dc->npdhw", bgr, jnp.asarray(_YUV_M),
-                   precision=jax.lax.Precision.HIGHEST)
-  yuv = yuv + jnp.asarray(_YUV_OFFSET, jnp.float32)[None, None, :, None,
-                                                    None]
-  y_ph = jnp.minimum(1.0, yuv[:, :, 0])                   # (N, 4, hh, wh)
-  y = bayer_ops.phases_to_plane(y_ph, jnp.float32)
-  y_u8 = jnp.clip(y * 255.0, 0, 255).astype(jnp.uint8)
-  uv = jnp.minimum(1.0, jnp.mean(yuv[:, :, 1:3], axis=1))  # (N, 2, hh, wh)
+  m, off = _YUV_M, _YUV_OFFSET  # applied to the channel-REVERSED vector
+  b, g, r = x[:, :, 2], x[:, :, 1], x[:, :, 0]
+
+  # Y directly per phase (no (N, 4, 3, hh, wh) yuv intermediate — the
+  # einsum materialized 597 MB at 6x4K); clamp+quantize per phase and
+  # interleave as u8 (exact: interleave is pure movement).
+  y_ph = jnp.minimum(1.0, m[0, 0] * b + m[0, 1] * g + m[0, 2] * r
+                     + off[0])
+  y_u8 = bayer_ops.phases_to_plane(
+      jnp.clip(y_ph * 255.0, 0, 255).astype(jnp.uint8))
+
+  # Chroma: the 2x2 block mean is the mean over phases; the matrix is
+  # linear so mean-then-matrix == matrix-then-mean (up to f32 rounding,
+  # <=1 u8 count) at a quarter of the arithmetic.
+  mb, mg, mr = (jnp.mean(b, axis=1), jnp.mean(g, axis=1),
+                jnp.mean(r, axis=1))
+  u = m[1, 0] * mb + m[1, 1] * mg + m[1, 2] * mr + off[1]
+  v = m[2, 0] * mb + m[2, 1] * mg + m[2, 2] * mr + off[2]
   # V-then-U plane order quirk (yuv_420.py:62-64)
-  uv = uv[:, ::-1]
+  uv = jnp.minimum(1.0, jnp.stack([v, u], axis=1))
   uv_u8 = jnp.clip(uv * 255.0, 0, 255).astype(jnp.uint8)
   return y_u8, uv_u8
 

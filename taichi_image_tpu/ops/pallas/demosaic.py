@@ -130,9 +130,14 @@ def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
     val = a * inv_full[oc]
     out_ref[0, oc] = val
     if sample_step and oc < 3:
+      # HIGHEST precision: Mosaic's default f32 dot is bf16-reduced on
+      # the MXU, which rounds the sampled values (caught on-chip by
+      # tools/verify_tpu.py); bf16x3+ decomposition restores exactness.
       cols = jnp.dot(val, csel_ref[...],
+                     precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)
       samp_ref[0, oc] = jnp.dot(rsel_ref[...], cols,
+                                precision=jax.lax.Precision.HIGHEST,
                                 preferred_element_type=jnp.float32)
 
 

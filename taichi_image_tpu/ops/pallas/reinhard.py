@@ -1,0 +1,132 @@
+"""Pallas TPU Reinhard-map kernel.
+
+Computes the pre-gamma Reinhard map p = scaled / (adapt + scaled) with
+the color_adapt == 0 per-pixel adapt specialization (see
+models/camera_isp.reinhard_map_ca) plus per-tile max partials, reading
+x12 in an f32 container (f16-quantized values — Mosaic cannot read f16).
+XLA's elementwise passes move ~60-180 GB/s on this machine while Pallas
+DMA moves ~327 GB/s (docs/PERFORMANCE.md), so the bandwidth-bound map
+stage benefits from running in-kernel.
+
+Scalars arrive via SMEM, precomputed in XLA so their arithmetic (incl.
+map_key's pow and exp(-intensity)) matches the XLA path exactly; the
+in-kernel pow may differ from XLA's lowering by ulps (documented — the
+fused-vs-composed parity tests allow <=1 u8 count on this path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from taichi_image_tpu.ops.pallas.demosaic import _pick_tile
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def reinhard_tiling(hh: int, wh: int):
+  """(TR, TW) for the (1, 12, TR, TW) blocks, or None. Exact divisors
+  only (padding would corrupt the max partials)."""
+  if hh < 8 or wh < 128:
+    return None
+  tw = None
+  for cand in range(128, min(wh, 1024) + 1, 128):
+    if wh % cand == 0:
+      tw = cand
+  if tw is None:
+    return None
+  tr = None
+  for cand in range(8, min(hh, 256) + 1, 8):
+    if hh % cand != 0:
+      continue
+    vmem = 4 * 12 * cand * tw * 2 * 2  # in+out blocks, double-buffered
+    if vmem <= _VMEM_BUDGET:
+      tr = cand
+  return (tr, tw) if tr else None
+
+
+def _kernel(light_adapt_dynamic, x_ref, s_ref, p_ref, mx_ref):
+  """x_ref (1, 12, tr, tw) f32; s_ref SMEM (6,):
+  [m0, range, map_key, mean(m5), exp(-intensity), light_adapt]."""
+  m0, rng, mk, mean, eni, la = (s_ref[0], s_ref[1], s_ref[2], s_ref[3],
+                                s_ref[4], s_ref[5])
+  mx = None
+  for k in range(4):
+    r = (x_ref[0, 3 * k + 0] - m0) / rng
+    g = (x_ref[0, 3 * k + 1] - m0) / rng
+    b = (x_ref[0, 3 * k + 2] - m0) / rng
+    gray = 0.299 * r + 0.587 * g + 0.114 * b
+    # lerp(la, mean, gray) with the same expression as utils.bounds.lerp
+    adapt_mean = mean + la * (gray - mean)
+    adapt = jnp.power(eni * adapt_mean, mk)
+    for c, scaled in ((0, r), (1, g), (2, b)):
+      p = scaled * (1.0 / (adapt + scaled))
+      p = jnp.where(jnp.isnan(p), 0.0, p)
+      p_ref[0, 3 * k + c] = p
+      t = jnp.max(p)
+      mx = t if mx is None else jnp.maximum(mx, t)
+  mx_ref[...] = jnp.broadcast_to(mx, (1, 8, 128))
+
+
+def reinhard_map_pallas(x12_f32, metrics, intensity, light_adapt,
+                        interpret: bool = False):
+  """(N, 12, hh, wh) f32 (f16-quantized values) -> (p f32 same shape,
+  per-image max (N, 1, 1, 1, 1) ready for reinhard_gamma_ca on the
+  (N, 4, 3, hh, wh) view).
+
+  Only the color_adapt == 0.0 specialization is implemented (the
+  reference default; other values use the XLA path).
+  """
+  n, _, hh, wh = x12_f32.shape
+  tiles = reinhard_tiling(hh, wh)
+  assert tiles is not None, (hh, wh)
+  tr, tw = tiles
+  ni, nj = hh // tr, wh // tw
+
+  m = metrics
+  key = (m[3] - m[4]) / (m[3] - m[2])
+  map_key = 0.3 + 0.7 * jnp.power(key, 1.4)
+  scal = jnp.stack([m[0], m[1] - m[0], map_key, m[5],
+                    jnp.exp(-jnp.float32(intensity)),
+                    jnp.float32(light_adapt)])
+
+  p, mx = pl.pallas_call(
+      functools.partial(_kernel, None),
+      out_shape=[
+          jax.ShapeDtypeStruct((n, 12, hh, wh), jnp.float32),
+          jax.ShapeDtypeStruct((n, ni * 8, nj * 128), jnp.float32),
+      ],
+      grid=(n, ni, nj),
+      in_specs=[
+          pl.BlockSpec((1, 12, tr, tw), lambda a, i, j: (a, 0, i, j),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec(memory_space=pltpu.SMEM),
+      ],
+      out_specs=[
+          pl.BlockSpec((1, 12, tr, tw), lambda a, i, j: (a, 0, i, j),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 8, 128), lambda a, i, j: (a, i, j),
+                       memory_space=pltpu.VMEM),
+      ],
+      interpret=interpret,
+  )(x12_f32, scal)
+  max_out = jnp.max(mx, axis=(1, 2))[:, None, None, None, None]
+  return p, max_out
+
+
+def reinhard_pallas_available(hh: int, wh: int) -> bool:
+  import os
+  if os.environ.get("TAICHI_IMAGE_TPU_NO_PALLAS"):
+    return False
+  try:
+    backend = jax.default_backend()
+  except Exception:
+    return False
+  if backend not in ("tpu", "axon"):
+    return False
+  return reinhard_tiling(hh, wh) is not None

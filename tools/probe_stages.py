@@ -149,6 +149,8 @@ def s_full_yuv(raws):
 
 
 def main():
+  import sys
+  want = sys.argv[1:] if len(sys.argv) > 1 else None
   rng = np.random.default_rng(0)
   raws = jax.device_put(rng.integers(0, 256, size=(N, H, W * 3 // 2),
                                      dtype=np.uint8))
@@ -166,6 +168,8 @@ def main():
           ("FULL static g=1 -> I420", s_full_yuv)]
   prev = 0.0
   for name, fn in rows:
+    if want and not any(w.lower() in name.lower() for w in want):
+      continue
     try:
       ms = timeit(fn, raws)
       print(f"{name:32} {ms:7.2f} ms   (+{ms - prev:6.2f})", flush=True)

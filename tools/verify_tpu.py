@@ -30,7 +30,33 @@ def record(name, ok, detail):
   print(f"{'PASS' if ok else 'FAIL'} {name}: {detail}", flush=True)
 
 
+def regen_golden():
+  """Generate the pallas-sized golden fixture on CPU (XLA conv path —
+  the independent-of-Mosaic implementation)."""
+  import jax
+  jax.config.update("jax_platforms", "cpu")
+  import sys
+  sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                  "tests"))
+  from conftest import make_test_rgb
+  from oracle import rgb_to_bayer_oracle
+  from taichi_image_tpu.ops import bayer
+  from taichi_image_tpu.ops.bayer import BayerPattern
+
+  img = make_test_rgb(1080, 1920, seed=11)
+  cfa_u8 = (np.clip(rgb_to_bayer_oracle(img, "RGGB"), 0, 1)
+            * 255).astype(np.uint8)
+  rgb_u8 = np.asarray(bayer.bayer_to_rgb(cfa_u8, BayerPattern.RGGB))
+  out = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
+                     "golden_pallas_v1.npz")
+  np.savez_compressed(out, cfa_u8=cfa_u8, rgb_u8=rgb_u8)
+  print(f"wrote {out}")
+
+
 def main():
+  if "--regen-golden" in sys.argv:
+    regen_golden()
+    return
   import jax
   import jax.numpy as jnp
   from taichi_image_tpu import types
@@ -71,26 +97,31 @@ def main():
                                       out_dtype=jnp.float16,
                                       sample_step=4))(phases)
   want = np.asarray(x12)[:, 0:3, ::4, ::4]
+  sd = np.abs(np.asarray(samp).astype(np.float64) - want.astype(np.float64))
   record("kernel_sample_emission_onchip",
          np.array_equal(np.asarray(samp), want),
-         f"bitwise={np.array_equal(np.asarray(samp), want)}")
+         f"bitwise={np.array_equal(np.asarray(samp), want)} "
+         f"max|diff|={float(sd.max()):.3e}")
 
-  # 3. golden fixture through the TPU pallas path
+  # 3. CPU-generated golden fixture through the TPU pallas path
   golden_dir = os.path.join(os.path.dirname(__file__), "..", "tests",
                             "golden")
-  gpath = os.path.join(golden_dir, "demosaic_rggb.npz")
+  gpath = os.path.join(golden_dir, "golden_pallas_v1.npz")
   if os.path.exists(gpath):
     g = np.load(gpath)
-    cfa = jnp.asarray(g["cfa"])
-    got = np.asarray(bayer.bayer_to_rgb(cfa, BayerPattern.RGGB,
-                                        dtype=np.uint8))
+    cfa = jnp.asarray(g["cfa_u8"])  # pallas-sized (1080x1920)
+    got = np.asarray(bayer.bayer_to_rgb(cfa, BayerPattern.RGGB))
     want = g["rgb_u8"]
     diff = np.abs(got.astype(int) - want.astype(int))
-    record("golden_demosaic_onchip", diff.max() <= 1,
-           f"max|diff|={int(diff.max())} counts "
-           f"(pallas used: {bayer.demosaic_phases is not None})")
+    # Pallas stencil vs the CPU XLA conv differ by one f16 ulp on a few
+    # percent of pixels (different summation association) -> <=1 count.
+    record("golden_demosaic_onchip_pallas", int(diff.max()) <= 1,
+           f"max|diff|={int(diff.max())} counts, "
+           f"frac!=0={float((diff != 0).mean()):.2e}")
   else:
-    record("golden_demosaic_onchip", True, "no fixture (skipped)")
+    record("golden_demosaic_onchip_pallas", False,
+           "fixture missing — run tools/verify_tpu.py --regen-golden "
+           "on CPU first")
 
   # 4. fused step: pallas vs forced-XLA conv
   raws = jnp.asarray(rng.integers(0, 256, size=(2, 256, 576),
