@@ -25,10 +25,17 @@ def main(argv=None):
   parser.add_argument("--pattern", type=lambda s: BayerPattern[s],
                       default=BayerPattern.RGGB)
   parser.add_argument("--ids_format", action="store_true")
+  parser.add_argument("--debug", action="store_true",
+                      help="enable checkify validation in the fused step "
+                           "(reference: ti.init(debug=True))")
   parser.add_argument("--gamma", type=float, default=1.0)
   parser.add_argument("--intensity", type=float, default=1.0)
   parser.add_argument("--out", type=Path, default=None)
   args = parser.parse_args(argv)
+
+  if args.debug:
+    import os
+    os.environ["TAICHI_IMAGE_TPU_DEBUG"] = "1"
 
   if args.raw.suffix == ".npy":
     data = np.load(args.raw).astype(np.uint8)

@@ -40,7 +40,14 @@ def main(argv=None):
   parser.add_argument("--pattern", type=lambda s: BayerPattern[s],
                       default=BayerPattern.RGGB)
   parser.add_argument("--write", type=Path, default=None)
+  parser.add_argument("--debug", action="store_true",
+                      help="enable checkify validation in the fused step "
+                           "(reference: ti.init(debug=True))")
   args = parser.parse_args(argv)
+
+  if args.debug:
+    import os
+    os.environ["TAICHI_IMAGE_TPU_DEBUG"] = "1"
 
   isp = camera_isp.Camera32(args.pattern, transform=args.transform,
                             moving_alpha=args.moving_alpha,

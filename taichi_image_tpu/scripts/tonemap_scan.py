@@ -45,9 +45,16 @@ def main(argv=None):
   parser.add_argument("--write", type=Path, default=None)
   parser.add_argument("--rows", type=int, default=2)
   parser.add_argument("--ids_format", action="store_true")
+  parser.add_argument("--debug", action="store_true",
+                      help="enable checkify validation in the fused step "
+                           "(reference: ti.init(debug=True))")
   parser.add_argument("--dtype", choices=["f16", "f32", "bf16"],
                       default="f32")
   args = parser.parse_args(argv)
+
+  if args.debug:
+    import os
+    os.environ["TAICHI_IMAGE_TPU_DEBUG"] = "1"
 
   cls = {"f16": camera_isp.Camera16, "f32": camera_isp.Camera32,
          "bf16": camera_isp.CameraBF16}[args.dtype]

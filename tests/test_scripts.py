@@ -94,3 +94,18 @@ def test_compare_bayer_cli(tmp_path, capsys):
   main([str(p)])
   out = capsys.readouterr().out
   assert "RGGB" in out and "BGGR" in out
+
+
+def test_tonemap_scan_debug_flag(tmp_path, monkeypatch):
+  """--debug turns on the checkify validation path (reference --debug ->
+  ti.init(debug=True), test/arguments.py:7,27) and clean data passes."""
+  pytest.importorskip("PIL")
+  monkeypatch.delenv("TAICHI_IMAGE_TPU_DEBUG", raising=False)
+  scan = _write_scan(tmp_path / "scan", h=64, w=96, n_frames=1)
+  out = tmp_path / "out"
+  from taichi_image_tpu.scripts.tonemap_scan import main
+  main(["--scan", str(scan), "--width", "96", "--write", str(out),
+        "--transform", "none", "--rows", "1", "--debug"])
+  import os
+  assert os.environ.get("TAICHI_IMAGE_TPU_DEBUG") == "1"
+  assert len(sorted(out.glob("*.jpg"))) == 1
