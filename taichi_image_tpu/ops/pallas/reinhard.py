@@ -119,6 +119,99 @@ def reinhard_map_pallas(x12_f32, metrics, intensity, light_adapt,
   return p, max_out
 
 
+def packed_tiling(hh: int, wh: int):
+  """(TR, TW) for (1, 6, TR, TW) i32 blocks of the packed kernel. Exact
+  divisors only; sized so the ~12 unpacked f32 plane temporaries fit
+  scoped VMEM."""
+  if hh < 8 or wh < 128:
+    return None
+  best = None
+  for tw in range(128, min(wh, 768) + 1, 128):
+    if wh % tw:
+      continue
+    for tr in range(8, min(hh, 160) + 1, 8):
+      if hh % tr:
+        continue
+      # in+out i32 blocks double-buffered + ~14 f32 plane temporaries
+      vmem = 6 * tr * tw * 4 * 4 + 14 * tr * tw * 4
+      if vmem <= 8 * 1024 * 1024:
+        best = (tr, tw)
+  return best
+
+
+def _packed_kernel(x_ref, s_ref, p_ref, mx_ref):
+  """x_ref (1, 6, tr, tw) i32 = channel-pair-packed f16 x12; outputs the
+  same packing of the f16-cast p, plus the per-tile max of the UNCAST
+  f32 p (reference semantics: max over p before the working-dtype cast,
+  camera_isp.py:211-218)."""
+  from taichi_image_tpu.ops.pallas import f16pack
+  m0, rng, mk, mean, eni, la = (s_ref[0], s_ref[1], s_ref[2], s_ref[3],
+                                s_ref[4], s_ref[5])
+  mx = None
+  bits_all = [None] * 12
+  for k in range(4):  # phases; channels 3k..3k+2 packed across words
+    ch = []
+    for c in range(3):
+      idx = 3 * k + c
+      w = x_ref[0, idx // 2]
+      bits = (w >> 16) & 0xFFFF if idx % 2 else w & 0xFFFF
+      ch.append(f16pack.f16_bits_to_f32(bits))
+    scaled = [(v - m0) / rng for v in ch]
+    gray = 0.299 * scaled[0] + 0.587 * scaled[1] + 0.114 * scaled[2]
+    adapt_mean = mean + la * (gray - mean)
+    adapt = jnp.power(eni * adapt_mean, mk)
+    for c in range(3):
+      p = scaled[c] * (1.0 / (adapt + scaled[c]))
+      p = jnp.where(jnp.isnan(p), 0.0, p)
+      t = jnp.max(p)
+      mx = t if mx is None else jnp.maximum(mx, t)
+      bits_all[3 * k + c] = f16pack.f32_to_f16_bits(p)
+  for word in range(6):
+    p_ref[0, word] = bits_all[2 * word] | (bits_all[2 * word + 1] << 16)
+  mx_ref[...] = jnp.broadcast_to(mx, (1, 8, 128))
+
+
+def reinhard_map_packed(w_i32, metrics, intensity, light_adapt,
+                        interpret: bool = False):
+  """(N, 6, hh, wh) i32 channel-pair-packed f16 x12 -> (p packed i32
+  same shape, per-image max (N, 1, 1, 1, 1) of the f32 p)."""
+  n, _, hh, wh = w_i32.shape
+  tiles = packed_tiling(hh, wh)
+  assert tiles is not None, (hh, wh)
+  tr, tw = tiles
+  ni, nj = hh // tr, wh // tw
+
+  m = metrics
+  key = (m[3] - m[4]) / (m[3] - m[2])
+  map_key = 0.3 + 0.7 * jnp.power(key, 1.4)
+  scal = jnp.stack([m[0], m[1] - m[0], map_key, m[5],
+                    jnp.exp(-jnp.float32(intensity)),
+                    jnp.float32(light_adapt)])
+
+  p, mx = pl.pallas_call(
+      _packed_kernel,
+      out_shape=[
+          jax.ShapeDtypeStruct((n, 6, hh, wh), jnp.int32),
+          jax.ShapeDtypeStruct((n, ni * 8, nj * 128), jnp.float32),
+      ],
+      grid=(n, ni, nj),
+      in_specs=[
+          pl.BlockSpec((1, 6, tr, tw), lambda a, i, j: (a, 0, i, j),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec(memory_space=pltpu.SMEM),
+      ],
+      out_specs=[
+          pl.BlockSpec((1, 6, tr, tw), lambda a, i, j: (a, 0, i, j),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 8, 128), lambda a, i, j: (a, i, j),
+                       memory_space=pltpu.VMEM),
+      ],
+      interpret=interpret,
+  )(w_i32, scal)
+  max_out = jnp.max(mx, axis=(1, 2))[:, None, None, None, None]
+  return p, max_out
+
+
 def reinhard_pallas_available(hh: int, wh: int) -> bool:
   import os
   if os.environ.get("TAICHI_IMAGE_TPU_NO_PALLAS"):

@@ -94,5 +94,60 @@ def main():
         flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--packed" not in __import__("sys").argv:
   main()
+
+
+def extra_packed():
+  """Timing for the channel-pair-packed variant (run after main)."""
+  from taichi_image_tpu.ops.pallas import f16pack
+  from taichi_image_tpu.ops.pallas.reinhard import reinhard_map_packed
+  rng = np.random.default_rng(0)
+  x_f16 = jnp.asarray(rng.random((N, 12, HH, WH)) * 0.9 + 0.05,
+                      jnp.float16)
+  m = jnp.asarray([0.02, 0.98, -3.0, -0.1, -1.2, 0.4, 0.4, 0.4, 0.4],
+                  jnp.float32)
+  w = f16pack.pack_channel_pairs(x_f16)
+
+  def t_packed_mapmax(wi):
+    p, mx = reinhard_map_packed(wi, m, 1.0, 1.0)
+    return (jnp.sum(p, dtype=jnp.int32).astype(jnp.float32)
+            + jnp.sum(mx))
+
+  def t_packed_tail(wi):
+    p, mx = reinhard_map_packed(wi, m, 1.0, 1.0)
+    p_cast = f16pack.unpack_channel_pairs(p).reshape(N, 4, 3, HH, WH)
+    out = reinhard_gamma_ca(p_cast, jnp.maximum(1e-6, mx), 1.0)
+    return jnp.sum(phases_to_planar(out.reshape(N, 12, HH, WH)),
+                   dtype=jnp.float32)
+
+  def t_pack_cost(x):
+    return jnp.sum(f16pack.pack_channel_pairs(x), dtype=jnp.int32
+                   ).astype(jnp.float32)
+
+  def timeit_i(fn, x, k=10, reps=3):
+    @jax.jit
+    def steps(x):
+      acc = jnp.float32(0)
+      for i in range(k):
+        acc = acc + fn(x ^ i)
+      return acc
+    _ = np.asarray(steps(x))
+    best = None
+    for _ in range(reps):
+      t0 = time.perf_counter()
+      _ = np.asarray(steps(x))
+      el = time.perf_counter() - t0
+      best = el if best is None else min(best, el)
+    return best / k * 1000.0
+
+  print(f"pack cost (from f16):     {timeit(t_pack_cost, x_f16):7.2f} ms",
+        flush=True)
+  print(f"packed kernel map+max:    {timeit_i(t_packed_mapmax, w):7.2f} ms",
+        flush=True)
+  print(f"packed FULL tail:         {timeit_i(t_packed_tail, w):7.2f} ms",
+        flush=True)
+
+
+if __name__ == "__main__" and "--packed" in __import__("sys").argv:
+  extra_packed()
