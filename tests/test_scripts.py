@@ -109,3 +109,23 @@ def test_tonemap_scan_debug_flag(tmp_path, monkeypatch):
   import os
   assert os.environ.get("TAICHI_IMAGE_TPU_DEBUG") == "1"
   assert len(sorted(out.glob("*.jpg"))) == 1
+
+
+def test_example_camera_rig(tmp_path):
+  """examples/camera_rig.py runs end-to-end (streaming + I420 +
+  checkpoint branches)."""
+  pytest.importorskip("PIL")
+  import pathlib
+  root = pathlib.Path(__file__).parent.parent
+  import runpy
+  import sys
+  argv = sys.argv
+  sys.argv = ["camera_rig.py", "--frames", "2", "--cameras", "2",
+              "--height", "64", "--width", "96",
+              "--out", str(tmp_path / "rig")]
+  try:
+    runpy.run_path(str(root / "examples" / "camera_rig.py"),
+                   run_name="__main__")
+  finally:
+    sys.argv = argv
+  assert len(list((tmp_path / "rig").glob("*.jpg"))) == 2
