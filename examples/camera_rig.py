@@ -23,8 +23,9 @@ from pathlib import Path
 import numpy as np
 
 
-def synth_scene(h, w, t, n_cams, rng):
-  """A moving smooth scene with per-camera exposure differences."""
+def synth_scene(h, w, t, n_cams):
+  """A moving smooth scene with per-camera exposure differences
+  (deterministic in (h, w, t, n_cams))."""
   yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
   frames = []
   for cam in range(n_cams):
@@ -54,12 +55,11 @@ def main(argv=None):
   on_tpu = jax.default_backend() in ("tpu", "axon")
   h = args.height or (2160 if on_tpu else 216)
   w = args.width or (3840 if on_tpu else 384)
-  rng = np.random.default_rng(0)
 
   # --- camera simulator: RGB scene -> packed12 RAW per camera ----------
   def raw_stream():
     for t in range(args.frames):
-      frames = synth_scene(h, w, t, args.cameras, rng)
+      frames = synth_scene(h, w, t, args.cameras)
       raws = []
       for img in frames:
         cfa = np.asarray(tit.rgb_to_bayer(img, tit.BayerPattern.RGGB))

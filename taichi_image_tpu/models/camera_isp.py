@@ -445,8 +445,9 @@ class _ISPBase:
     updates the EMA state. ``layout``: 'planar' (default) returns the
     TPU-native (n, 3, h', w') device array; 'hwc' returns a host numpy
     (n, h', w', 3) view (one device->host transfer + free moveaxis).
-    ``color_format='yuv420'`` returns planar I420 (Y, UV) u8 device
-    arrays instead (no resize/transform; ``layout`` ignored).
+    ``color_format='yuv420'`` returns planar I420 ``(Y, UV)`` u8 device
+    arrays instead (``layout`` ignored); it composes with resize and
+    output transforms (even output dims required).
     """
     raws = jnp.asarray(raws)
     debug_util.validate_raw(raws, fmt)
@@ -911,8 +912,10 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
     if tonemap == "reinhard":
       out = reinhard_apply_ca(rgb, new_metrics, gamma, intensity,
                               light_adapt, color_adapt, work_dtype)
-    else:
+    elif tonemap == "linear":
       out = linear_apply_ca(rgb, new_metrics, gamma)
+    else:
+      raise ValueError(f"unknown tonemap {tonemap}")
   else:
     n, _, hh, wh = x12.shape
     # full-res stride-8 pixels are exactly phase (0,0) at half-res stride 4

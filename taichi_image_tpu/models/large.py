@@ -19,9 +19,11 @@ bands:
 
 Every stage's program is band-sized, so compile size stays at ~1/n_bands
 of the frame; band shapes repeat, so each stage compiles once (stage A
-twice more for the first/last band's edge-renorm gating). Outputs are
-bitwise what the unbanded ``fused_isp_step`` produces with the same conv
-backend (tests/test_large.py pins this).
+twice more for the first/last band's edge-renorm gating). Outputs match
+the unbanded ``fused_isp_step`` within 1 u8 count on a tiny fraction of
+pixels (the staged metering reduction is a separately-compiled program
+whose f32 summation associates differently — metrics agree to the last
+ulp; tests/test_large.py pins this contract).
 """
 
 from __future__ import annotations

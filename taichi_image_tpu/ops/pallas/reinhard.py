@@ -50,7 +50,7 @@ def reinhard_tiling(hh: int, wh: int):
   return (tr, tw) if tr else None
 
 
-def _kernel(light_adapt_dynamic, x_ref, s_ref, p_ref, mx_ref):
+def _kernel(x_ref, s_ref, p_ref, mx_ref):
   """x_ref (1, 12, tr, tw) f32; s_ref SMEM (6,):
   [m0, range, map_key, mean(m5), exp(-intensity), light_adapt]."""
   m0, rng, mk, mean, eni, la = (s_ref[0], s_ref[1], s_ref[2], s_ref[3],
@@ -96,7 +96,7 @@ def reinhard_map_pallas(x12_f32, metrics, intensity, light_adapt,
                     jnp.float32(light_adapt)])
 
   p, mx = pl.pallas_call(
-      functools.partial(_kernel, None),
+      _kernel,
       out_shape=[
           jax.ShapeDtypeStruct((n, 12, hh, wh), jnp.float32),
           jax.ShapeDtypeStruct((n, ni * 8, nj * 128), jnp.float32),

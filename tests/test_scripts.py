@@ -100,7 +100,11 @@ def test_tonemap_scan_debug_flag(tmp_path, monkeypatch):
   """--debug turns on the checkify validation path (reference --debug ->
   ti.init(debug=True), test/arguments.py:7,27) and clean data passes."""
   pytest.importorskip("PIL")
-  monkeypatch.delenv("TAICHI_IMAGE_TPU_DEBUG", raising=False)
+  # setenv registers the restore-to-original undo, so the CLI's direct
+  # os.environ write below is rolled back after the test (a plain
+  # delenv(raising=False) on an absent var registers NO undo and the
+  # flag would leak into every later test).
+  monkeypatch.setenv("TAICHI_IMAGE_TPU_DEBUG", "0")
   scan = _write_scan(tmp_path / "scan", h=64, w=96, n_frames=1)
   out = tmp_path / "out"
   from taichi_image_tpu.scripts.tonemap_scan import main
