@@ -69,21 +69,35 @@ def _exchange_row_halos(phases, axis_name):
 
 def _demosaic_local(phases_local, pattern, cc, method, axis_name):
   """Demosaic a row shard: halo exchange + local stencil + edge renorm
-  gated to the GLOBAL top/bottom shards only."""
+  gated to the GLOBAL top/bottom shards only.
+
+  On TPU the per-shard stencil runs through the Pallas kernel (the XLA
+  conv lowering pads channel-minor outputs ~10x; docs/PERFORMANCE.md):
+  the exchanged halo rows ride along as input rows 0 and hh_l+1, whose
+  output rows are discarded — interior rows see identical neighborhoods
+  either way (pinned by tests/test_spatial.py::test_demosaic_local_
+  stencil_matches_conv in interpret mode).
+  """
   n, _, hh_l, wh = phases_local.shape
   weights = _demosaic_tables(pattern, method)
   padded = _exchange_row_halos(phases_local.astype(jnp.float32), axis_name)
 
-  num = jax.lax.conv_general_dilated(
-      padded, jnp.asarray(weights), (1, 1),
-      ((0, 0), (1, 1)),  # rows VALID (halos provide context), cols pad
-      dimension_numbers=("NCHW", "OIHW", "NCHW"),
-      precision=jax.lax.Precision.HIGHEST,
-      preferred_element_type=jnp.float32)
-
   assert hh_l >= 3, "row shards must have at least 3 half-res rows"
   full = weights.sum(axis=(1, 2, 3))
-  out = num * jnp.asarray(1.0 / full, jnp.float32)[None, :, None, None]
+
+  from taichi_image_tpu.ops.pallas import demosaic as pallas_dm
+  if pallas_dm.pallas_available(hh_l + 2, wh):
+    tiles = pallas_dm.tiling_for(hh_l + 2, wh)
+    num16 = pallas_dm.demosaic_stencil(padded, weights, *tiles)
+    out = num16[:, :, 1:-1, :]
+  else:
+    num = jax.lax.conv_general_dilated(
+        padded, jnp.asarray(weights), (1, 1),
+        ((0, 0), (1, 1)),  # rows VALID (halos provide context), cols pad
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    out = num * jnp.asarray(1.0 / full, jnp.float32)[None, :, None, None]
 
   idx = jax.lax.axis_index(axis_name)
   n_shards = jax.lax.axis_size(axis_name)

@@ -126,3 +126,34 @@ def test_grid_2d_mesh_matches_unsharded():
                 np.asarray(ref_out).astype(int))
   assert diff.max() <= 1
   assert (diff > 0).mean() < 0.01
+
+
+def test_demosaic_local_stencil_matches_conv(rng):
+  """The Pallas-stencil formulation of the per-shard demosaic (input
+  pre-padded with exchanged halo rows, output rows 0 and hh_l+1
+  discarded) equals the conv-VALID formulation — interpret mode."""
+  import jax
+  import jax.numpy as jnp
+  from taichi_image_tpu.ops.bayer import _demosaic_tables
+  from taichi_image_tpu.ops.pallas import demosaic as pallas_dm
+  from taichi_image_tpu.ops.bayer import BayerPattern
+
+  hh_l, wh = 14, 128  # padded height 16: tileable
+  weights = _demosaic_tables(BayerPattern.RGGB, "mhc")
+  padded = jnp.asarray(rng.random((2, 4, hh_l + 2, wh), np.float32))
+
+  num = jax.lax.conv_general_dilated(
+      padded, jnp.asarray(weights), (1, 1), ((0, 0), (1, 1)),
+      dimension_numbers=("NCHW", "OIHW", "NCHW"),
+      precision=jax.lax.Precision.HIGHEST,
+      preferred_element_type=jnp.float32)
+  full = weights.sum(axis=(1, 2, 3))
+  want = np.asarray(num * jnp.asarray(1.0 / full,
+                                      jnp.float32)[None, :, None, None])
+
+  tiles = pallas_dm.tiling_for(hh_l + 2, wh)
+  assert tiles is not None
+  num16 = pallas_dm.demosaic_stencil(padded, weights, *tiles,
+                                     interpret=True)
+  got = np.asarray(num16[:, :, 1:-1, :])
+  np.testing.assert_allclose(got, want, atol=2e-6)
