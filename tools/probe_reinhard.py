@@ -94,8 +94,7 @@ def main():
         flush=True)
 
 
-if __name__ == "__main__" and "--packed" not in __import__("sys").argv:
-  main()
+
 
 
 def extra_packed():
@@ -149,5 +148,63 @@ def extra_packed():
         flush=True)
 
 
-if __name__ == "__main__" and "--packed" in __import__("sys").argv:
-  extra_packed()
+
+
+
+def extra_packed_dma():
+  from taichi_image_tpu.ops.pallas import f16pack
+  from taichi_image_tpu.ops.pallas.reinhard import reinhard_map_packed_dma
+  rng = np.random.default_rng(0)
+  x_f16 = jnp.asarray(rng.random((N, 12, HH, WH)) * 0.9 + 0.05,
+                      jnp.float16)
+  m = jnp.asarray([0.02, 0.98, -3.0, -0.1, -1.2, 0.4, 0.4, 0.4, 0.4],
+                  jnp.float32)
+  w = f16pack.pack_channel_pairs(x_f16)
+
+  # correctness vs the XLA path (tolerance: in-kernel pow reassociation)
+  p_ref = reinhard_map_ca(x_f16.reshape(N, 4, 3, HH, WH), m, 1.0, 1.0,
+                          0.0)
+  pc_ref = np.asarray(p_ref.astype(jnp.float16))
+  mx_ref = np.asarray(jnp.max(p_ref, axis=(1, 2, 3, 4), keepdims=True))
+  pp, mx = jax.jit(lambda wi: reinhard_map_packed_dma(wi, m, 1.0, 1.0))(w)
+  pc = np.asarray(f16pack.unpack_channel_pairs(pp)).reshape(
+      N, 4, 3, HH, WH)
+  d = np.abs(pc.astype(np.float64) - pc_ref.astype(np.float64))
+  dm = np.abs(np.asarray(mx).ravel() - mx_ref.ravel()).max()
+  print(f"packed-dma values: max|dp|={np.nanmax(d):.3e} "
+        f"mismatch-frac={(pc.view(np.uint16) != pc_ref.view(np.uint16)).mean():.2e} "
+        f"max|dmax|={dm:.3e}", flush=True)
+
+  def t_mapmax(wi):
+    p, mxo = reinhard_map_packed_dma(wi, m, 1.0, 1.0)
+    return (jnp.sum(p, dtype=jnp.int32).astype(jnp.float32)
+            + jnp.sum(mxo))
+
+  def timeit_i(fn, x, k=10, reps=3):
+    @jax.jit
+    def steps(x):
+      acc = jnp.float32(0)
+      for i in range(k):
+        acc = acc + fn(x ^ i)
+      return acc
+    _ = np.asarray(steps(x))
+    best = None
+    for _ in range(reps):
+      t0 = time.perf_counter()
+      _ = np.asarray(steps(x))
+      el = time.perf_counter() - t0
+      best = el if best is None else min(best, el)
+    return best / k * 1000.0
+
+  print(f"packed-DMA kernel map+max: {timeit_i(t_mapmax, w):7.2f} ms",
+        flush=True)
+
+
+if __name__ == "__main__":
+  import sys
+  if "--packed-dma" in sys.argv:
+    extra_packed_dma()
+  elif "--packed" in sys.argv:
+    extra_packed()
+  else:
+    main()
