@@ -419,27 +419,26 @@ def _interleave_table_1ch():
 def phases_to_plane(x4, dtype=None):
   """(N, 4, hh, wh) single-channel phases -> full-res (N, H, W) plane.
 
-  Implemented as stack+reshape interleaves (exact — pure data movement,
-  no dtype roundtrip). The round-1 one-hot stride-2 transposed conv
-  computed identical values but cost ~3x more on TPU (16 vs 5.6 ms at
-  6x4K for the 12-channel variant; channel-minor conv layouts)."""
+  One 6-d transpose moving the (row, col) parity dims into interleaving
+  positions; the final reshape is a free C-order merge. Exact (pure data
+  movement, no dtype roundtrip). Measured at 6x4K for the 12-channel
+  variant: 3.1 ms vs 5.6 ms for stack+reshape interleaves and 16.2 ms
+  for the round-1 one-hot stride-2 transposed conv
+  (tools/probe_interleave.py)."""
   n, _, hh, wh = x4.shape
-  er = jnp.stack([x4[:, 0], x4[:, 2]], axis=-1).reshape(n, hh, 2 * wh)
-  orr = jnp.stack([x4[:, 1], x4[:, 3]], axis=-1).reshape(n, hh, 2 * wh)
-  out = jnp.stack([er, orr], axis=2).reshape(n, 2 * hh, 2 * wh)
-  return out.astype(dtype or x4.dtype)
+  x = x4.reshape(n, 2, 2, hh, wh)        # (n, pc, pr, hh, wh)
+  t = x.transpose(0, 3, 2, 4, 1)         # (n, hh, pr, wh, pc)
+  return t.reshape(n, 2 * hh, 2 * wh).astype(dtype or x4.dtype)
 
 
 def phases_to_planar(x12, dtype=None):
-  """(N, 12, hh, wh) phase-RGB -> full-res planar (N, 3, H, W) via
-  stack+reshape column/row interleaves (exact; see
-  :func:`phases_to_plane` for the perf note)."""
+  """(N, 12, hh, wh) phase-RGB -> full-res planar (N, 3, H, W) via a
+  single 6-d transpose (exact; see :func:`phases_to_plane` for the perf
+  note)."""
   n, _, hh, wh = x12.shape
-  x = x12.reshape(n, 4, 3, hh, wh)
-  er = jnp.stack([x[:, 0], x[:, 2]], axis=-1).reshape(n, 3, hh, 2 * wh)
-  orr = jnp.stack([x[:, 1], x[:, 3]], axis=-1).reshape(n, 3, hh, 2 * wh)
-  out = jnp.stack([er, orr], axis=3).reshape(n, 3, 2 * hh, 2 * wh)
-  return out.astype(dtype or x12.dtype)
+  x = x12.reshape(n, 2, 2, 3, hh, wh)    # (n, pc, pr, c, hh, wh)
+  t = x.transpose(0, 3, 4, 2, 5, 1)      # (n, c, hh, pr, wh, pc)
+  return t.reshape(n, 3, 2 * hh, 2 * wh).astype(dtype or x12.dtype)
 
 
 def planar_to_phases(planar):

@@ -114,5 +114,49 @@ def main():
     print(f"{name:32} {ms:7.2f} ms", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--extra" not in __import__("sys").argv:
   main()
+
+
+def v_transpose6(x12):
+  """Single 6-d transpose: channel dim (pc,pr,c) major-reordered, then
+  pr/pc transposed into interleaving positions; the final reshape is the
+  free C-order merge."""
+  n, _, hh, wh = x12.shape
+  x = x12.reshape(n, 2, 2, 3, hh, wh)  # (n, pc, pr, c, hh, wh)
+  t = x.transpose(0, 3, 4, 2, 5, 1)    # (n, c, hh, pr, wh, pc)
+  return t.reshape(n, 3, 2 * hh, 2 * wh)
+
+
+def v_cols_only(x12):
+  n, _, hh, wh = x12.shape
+  x = x12.reshape(n, 4, 3, hh, wh)
+  er = jnp.stack([x[:, 0], x[:, 2]], axis=-1).reshape(n, 3, hh, 2 * wh)
+  orr = jnp.stack([x[:, 1], x[:, 3]], axis=-1).reshape(n, 3, hh, 2 * wh)
+  return er + orr  # consume both, no row interleave
+
+
+def v_rows_only(x12):
+  n, _, hh, wh = x12.shape
+  x = x12.reshape(n, 4, 3, hh, wh)
+  s = jnp.stack([x[:, 0], x[:, 1]], axis=3)  # (n, 3, hh, 2, wh)
+  return s.reshape(n, 3, 2 * hh, wh)
+
+
+def extra():
+  rng = np.random.default_rng(0)
+  x12 = jnp.asarray(rng.integers(0, 256, size=(N, 12, HH, WH),
+                                 dtype=np.uint8))
+  small = jnp.asarray(rng.integers(0, 256, size=(1, 12, 8, 16),
+                                   dtype=np.uint8))
+  ref = np.asarray(jax.jit(v_conv)(small))
+  got = np.asarray(jax.jit(v_transpose6)(small))
+  print("transpose6 exact:", np.array_equal(got, ref), flush=True)
+  for name, fn in [("transpose6", v_transpose6),
+                   ("cols only (attribution)", v_cols_only),
+                   ("rows only (attribution)", v_rows_only)]:
+    print(f"{name:28} {timeit(fn, x12):7.2f} ms", flush=True)
+
+
+if __name__ == "__main__" and "--extra" in __import__("sys").argv:
+  extra()
