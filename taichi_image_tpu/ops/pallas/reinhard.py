@@ -119,6 +119,150 @@ def reinhard_map_pallas(x12_f32, metrics, intensity, light_adapt,
   return p, max_out
 
 
+def bf16_tiling(hh: int, wh: int, nc: int = 12):
+  """(TR, TW) for (1, nc, TR, TW) bf16 blocks of the bf16 DMA kernel.
+  Exact divisors only (padding would corrupt the max partials); prefers
+  full-width tiles (contiguous per-plane DMA)."""
+  if hh < 8 or wh < 128:
+    return None
+  budget = 8 * 1024 * 1024
+  for tw in (wh,) + tuple(range(1920, 127, -128)):
+    if wh % tw:
+      continue
+    best_tr = None
+    for tr in range(8, min(hh, 512) + 1, 8):
+      if hh % tr:
+        continue
+      # bf16 scratch (2 slots) + bf16 out block (double-buffered)
+      vmem = 2 * nc * tr * tw * 2 * 2
+      if vmem <= budget:
+        best_tr = tr
+    if best_tr:
+      return (best_tr, tw)
+  return None
+
+
+def _bf16_kernel_dma(tr, tw, ni, nj, nt, ng, hbm_ref, s_ref, p_ref, mx_ref,
+                     scratch, sems):
+  """Manual double-buffered DMA Reinhard map on bf16 I/O: reads (1, 12,
+  tr, tw) bf16 tiles of x12, converts to f32 in-VMEM, writes the bf16
+  p (pre-gamma map) plus per-tile f32 max partials. Same math as
+  :func:`_kernel`; bf16 halves HBM traffic vs the f32 container and
+  skips the f16-bit emulation the packed variant needs."""
+  t = pl.program_id(0)
+
+  def src(tt):
+    a = tt // (ni * nj)
+    r = tt % (ni * nj)
+    return hbm_ref.at[a, :, pl.ds((r // nj) * tr, tr),
+                      pl.ds((r % nj) * tw, tw)]
+
+  def dma(slot, tt):
+    return pltpu.make_async_copy(src(tt), scratch.at[slot], sems.at[slot])
+
+  @pl.when(t == 0)
+  def _():
+    dma(0, 0).start()
+
+  @pl.when(t + 1 < nt)
+  def _():
+    dma((t + 1) % 2, t + 1).start()
+
+  dma(t % 2, t).wait()
+  cur = scratch.at[t % 2]
+
+  m0, rng, mk, mean, eni, la = (s_ref[0], s_ref[1], s_ref[2], s_ref[3],
+                                s_ref[4], s_ref[5])
+  mx = None
+  for k in range(ng):
+    r = (cur[3 * k + 0].astype(jnp.float32) - m0) / rng
+    g = (cur[3 * k + 1].astype(jnp.float32) - m0) / rng
+    b = (cur[3 * k + 2].astype(jnp.float32) - m0) / rng
+    gray = 0.299 * r + 0.587 * g + 0.114 * b
+    adapt_mean = mean + la * (gray - mean)
+    adapt = jnp.power(eni * adapt_mean, mk)
+    for c, scaled in ((0, r), (1, g), (2, b)):
+      p = scaled * (1.0 / (adapt + scaled))
+      p = jnp.where(jnp.isnan(p), 0.0, p)
+      p_ref[0, 3 * k + c] = p.astype(jnp.bfloat16)
+      tmax = jnp.max(p)
+      mx = tmax if mx is None else jnp.maximum(mx, tmax)
+  mx_ref[...] = jnp.broadcast_to(mx, (1, 8, 128))
+
+
+def reinhard_map_bf16_dma(x_bf16, metrics, intensity, light_adapt,
+                          interpret: bool = False):
+  """(N, C, hh, wh) bf16 (C % 3 == 0: phase-RGB x12 or planar RGB) ->
+  (p bf16 same shape, per-image f32 max (N, 1, 1, 1)). color_adapt == 0
+  specialization only (reference default, camera_isp.py:177-218); the
+  max is taken over the f32 p BEFORE the bf16 cast (reference
+  max-before-cast semantics)."""
+  n, nc, hh, wh = x_bf16.shape
+  assert nc % 3 == 0, nc
+  ng = nc // 3
+  tiles = bf16_tiling(hh, wh, nc)
+  assert tiles is not None, (hh, wh)
+  tr, tw = tiles
+  ni, nj = hh // tr, wh // tw
+  nt = n * ni * nj
+
+  m = metrics
+  key = (m[3] - m[4]) / (m[3] - m[2])
+  map_key = 0.3 + 0.7 * jnp.power(key, 1.4)
+  scal = jnp.stack([m[0], m[1] - m[0], map_key, m[5],
+                    jnp.exp(-jnp.float32(intensity)),
+                    jnp.float32(light_adapt)])
+
+  def out_map(t):
+    a = t // (ni * nj)
+    r = t % (ni * nj)
+    return (a, 0, r // nj, r % nj)
+
+  def mx_map(t):
+    a = t // (ni * nj)
+    r = t % (ni * nj)
+    return (a, r // nj, r % nj)
+
+  p, mx = pl.pallas_call(
+      functools.partial(_bf16_kernel_dma, tr, tw, ni, nj, nt, ng),
+      out_shape=[
+          jax.ShapeDtypeStruct((n, nc, hh, wh), jnp.bfloat16),
+          jax.ShapeDtypeStruct((n, ni * 8, nj * 128), jnp.float32),
+      ],
+      grid=(nt,),
+      in_specs=[
+          pl.BlockSpec(memory_space=pl.ANY),
+          pl.BlockSpec(memory_space=pltpu.SMEM),
+      ],
+      out_specs=[
+          pl.BlockSpec((1, nc, tr, tw), out_map, memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 8, 128), mx_map, memory_space=pltpu.VMEM),
+      ],
+      scratch_shapes=[
+          pltpu.VMEM((2, nc, tr, tw), jnp.bfloat16),
+          pltpu.SemaphoreType.DMA((2,)),
+      ],
+      interpret=interpret,
+  )(x_bf16, scal)
+  max_out = jnp.max(mx, axis=(1, 2))[:, None, None, None]
+  return p, max_out
+
+
+def reinhard_bf16_available(nc: int, hh: int, wh: int) -> bool:
+  """True when the bf16 manual-DMA map kernel can run: TPU backend, the
+  off-switch unset, C a multiple of 3, and an exact-divisor tiling."""
+  import os
+  if os.environ.get("TAICHI_IMAGE_TPU_NO_PALLAS"):
+    return False
+  try:
+    backend = jax.default_backend()
+  except Exception:
+    return False
+  if backend not in ("tpu", "axon"):
+    return False
+  return nc % 3 == 0 and bf16_tiling(hh, wh, nc) is not None
+
+
 def packed_tiling(hh: int, wh: int):
   """(TR, TW) for (1, 6, TR, TW) i32 blocks of the packed kernel. Exact
   divisors only; sized so the ~12 unpacked f32 plane temporaries fit

@@ -22,7 +22,8 @@ from taichi_image_tpu.ops.interpolate import ImageTransform
 from taichi_image_tpu.ops.pallas import demosaic as pallas_dm
 
 N, H, W = 6, 2160, 3840
-WD = types.f16
+WD = types.canonical_dtype(
+    __import__("os").environ.get("TAICHI_PROBE_WD", "float16"))
 K, REPS = 10, 3
 
 
