@@ -126,9 +126,10 @@ def bf16_tiling(hh: int, wh: int, nc: int = 12):
   if hh < 8 or wh < 128:
     return None
   budget = 8 * 1024 * 1024
-  for tw in (wh,) + tuple(range(1920, 127, -128)):
-    if wh % tw:
-      continue
+  # tile widths must be 128-lane multiples: Mosaic rejects DMA slices
+  # whose lane extent is not tiling-aligned, even full-dim ones
+  for tw in sorted({w for w in range(128, min(wh, 1920) + 1, 128)
+                    if wh % w == 0}, reverse=True):
     best_tr = None
     for tr in range(8, min(hh, 512) + 1, 8):
       if hh % tr:
