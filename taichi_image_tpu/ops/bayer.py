@@ -365,19 +365,21 @@ def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",
 
   samp = None
   if use_pallas:
-    tiles_s = (pallas_dm.tiling_for(hh, wh, sample_step)
+    # bf16 phases go to the kernel unconverted (in-kernel bf16->f32 is
+    # exact and halves the halo-DMA traffic); everything else pre-casts
+    in_bf16 = phases.dtype == jnp.bfloat16
+    ph_in = phases if in_bf16 else phases.astype(jnp.float32)
+    tiles_s = (pallas_dm.tiling_for(hh, wh, sample_step, in_bf16=in_bf16)
                if sample_step else None)
     if tiles_s is not None:
       num16, snum = pallas_dm.demosaic_stencil(
-          phases.astype(jnp.float32), weights, *tiles_s,
-          sample_step=sample_step)
+          ph_in, weights, *tiles_s, sample_step=sample_step)
       samp = finish(snum * edge_renorm_factor_sampled(
           weights, hh, wh, sample_step)[:, 0:3])
     else:
-      tiles = pallas_dm.tiling_for(hh, wh)
+      tiles = pallas_dm.tiling_for(hh, wh, in_bf16=in_bf16)
       assert tiles is not None, f"no pallas tiling for {(hh, wh)}"
-      num16 = pallas_dm.demosaic_stencil(phases.astype(jnp.float32),
-                                         weights, *tiles)
+      num16 = pallas_dm.demosaic_stencil(ph_in, weights, *tiles)
     out = finish(_edge_renorm(num16, weights, hh, wh))
   elif hh >= 2 and wh >= 2:
     num = jax.lax.conv_general_dilated(

@@ -45,7 +45,8 @@ def _pick_tile(n: int, quantum: int, lo: int, hi: int):
   return best
 
 
-def tiling_for(hh: int, wh: int, sample_step: int = 0):
+def tiling_for(hh: int, wh: int, sample_step: int = 0,
+               in_bf16: bool = False):
   """(TR, TW) tile sizes, or None for shapes too small to tile.
 
   Arbitrary hh/wh are supported: the wrapper pads up to the tile grid
@@ -63,9 +64,12 @@ def tiling_for(hh: int, wh: int, sample_step: int = 0):
   if tw is None:
     return None
   tr = None
+  in_bytes = 2 if in_bf16 else 4
   for cand in range(qr, min(((hh + qr - 1) // qr) * qr, 256) + 1, qr):
-    vmem = 4 * (2 * (4 * (cand + 2 * _HALO_R) * (tw + 2 * _HALO_C))
-                + 2 * (12 * cand * tw))
+    halo = 4 * (cand + 2 * _HALO_R) * (tw + 2 * _HALO_C)
+    vmem = in_bytes * 2 * halo + 4 * 2 * (12 * cand * tw)
+    if in_bf16:
+      vmem += 4 * halo  # f32 conversion temporary
     if vmem <= _VMEM_BUDGET and (tr is None or
                                  _waste(hh, cand) <= _waste(hh, tr)):
       tr = cand
@@ -113,7 +117,13 @@ def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
     dma((t + 1) % 2, t + 1).start()
 
   dma(t % 2, t).wait()
-  cur = scratch.at[t % 2]
+  if scratch.dtype == jnp.bfloat16:
+    # bf16 input halves the halo-DMA traffic; compute stays f32
+    # (bf16 -> f32 convert is exact, so values are bit-identical to the
+    # f32-input path)
+    cur = scratch[t % 2].astype(jnp.float32)
+  else:
+    cur = scratch.at[t % 2]
   for oc in range(12):
     a = None
     for q in range(4):
@@ -143,9 +153,10 @@ def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
 
 def demosaic_stencil(phases_f32, weights: np.ndarray, tr: int, tw: int,
                      interpret: bool = False, sample_step: int = 0):
-  """(N, 4, hh, wh) f32 phases -> (N, 12, hh, wh) f32 num/full
+  """(N, 4, hh, wh) f32 OR bf16 phases -> (N, 12, hh, wh) f32 num/full
   (unclamped, interior-normalized). ``weights`` is the (12, 4, 3, 3)
-  table.
+  table. bf16 input is DMA'd as bf16 and converted in-kernel (exact;
+  halves the input traffic vs pre-casting to f32).
 
   ``sample_step`` > 0 additionally returns the stride-``sample_step``
   row/col subsample of channels 0..2 (num/full values on the metering
@@ -203,7 +214,7 @@ def demosaic_stencil(phases_f32, weights: np.ndarray, tr: int, tw: int,
       out_specs=out_specs,
       scratch_shapes=[
           pltpu.VMEM((2, 4, tr + 2 * _HALO_R, tw + 2 * _HALO_C),
-                     jnp.float32),
+                     phases_f32.dtype),
           pltpu.SemaphoreType.DMA((2,)),
       ],
       interpret=interpret,

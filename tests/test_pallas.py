@@ -97,3 +97,17 @@ def test_stencil_sample_emission(step, rng):
     dm.demosaic_stencil, dm.pallas_available = orig_stencil, orig_avail
   np.testing.assert_array_equal(
       np.asarray(samp), np.asarray(x12)[:, 0:3, ::step, ::step])
+
+
+def test_stencil_bf16_input_bit_identical(rng):
+  """bf16 phases DMA'd raw into the kernel (in-kernel convert) must
+  match pre-casting the same bf16 values to f32 — exact conversion."""
+  phases_bf16 = jnp.asarray(rng.random((1, 4, 24, 256)), jnp.bfloat16)
+  weights = bayer._demosaic_tables(bayer.BayerPattern.RGGB, "mhc")
+  tiles = pallas_dm.tiling_for(24, 256, in_bf16=True)
+  assert tiles is not None
+  a = pallas_dm.demosaic_stencil(phases_bf16, weights, *tiles,
+                                 interpret=True)
+  b = pallas_dm.demosaic_stencil(phases_bf16.astype(jnp.float32),
+                                 weights, *tiles, interpret=True)
+  np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
