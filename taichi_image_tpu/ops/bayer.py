@@ -284,6 +284,31 @@ def edge_renorm_factor(weights, hh, wh, is_top=True, is_bot=True):
   return f
 
 
+def _stencil_finish_spec(weights, hh, wh, cc, out_dtype):
+  """Static constants for the Pallas stencil's fused finish stage: the
+  same per-channel border factors edge_renorm_factor builds (full/strip
+  sums, corner corrections) plus the optional CCM, as numpy/floats."""
+  full, top, bottom, left, right = _edge_sums(weights, hh, wh)
+  t_mid, b_mid = top[:, 1], bottom[:, 1]
+  l_mid, r_mid = left[:, 1], right[:, 1]
+  tl, tr_ = top[:, 0], top[:, -1]
+  bl, br = bottom[:, 0], bottom[:, -1]
+  topf, botf = full / t_mid, full / b_mid
+  leftf, rightf = full / l_mid, full / r_mid
+  cvals = np.stack([
+      (full / tl) / (topf * leftf),
+      (full / tr_) / (topf * rightf),
+      (full / bl) / (botf * leftf),
+      (full / br) / (botf * rightf),
+  ]).astype(np.float32)
+  ccm = None if cc is None else np.array(cc, np.float32).reshape(3, 3)
+  return dict(hh=hh, wh=wh, topf=topf.astype(np.float32),
+              botf=botf.astype(np.float32),
+              leftf=leftf.astype(np.float32),
+              rightf=rightf.astype(np.float32), cvals=cvals, cc=ccm,
+              out_dtype=jnp.dtype(out_dtype))
+
+
 def _edge_renorm(x, weights, hh, wh):
   """Apply exact drop-tap border renormalization to interior-normalized
   (num/full) phase output."""
@@ -369,18 +394,29 @@ def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",
     # exact and halves the halo-DMA traffic); everything else pre-casts
     in_bf16 = phases.dtype == jnp.bfloat16
     ph_in = phases if in_bf16 else phases.astype(jnp.float32)
-    tiles_s = (pallas_dm.tiling_for(hh, wh, sample_step, in_bf16=in_bf16)
+    # bf16 output fuses renorm+CCM+clip+cast IN-KERNEL (emitting final
+    # x12 directly skips the f32-numerator round trip, ~1.2 GB at 6x4K);
+    # the f16/f32 paths keep the XLA finish (Mosaic cannot emit f16, and
+    # the f32 golden contract predates the fused path)
+    fuse = jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16)
+    fin = _stencil_finish_spec(weights, hh, wh, cc, out_dtype) if fuse         else None
+    tiles_s = (pallas_dm.tiling_for(hh, wh, sample_step, in_bf16=in_bf16,
+                                    out_bf16=fuse)
                if sample_step else None)
     if tiles_s is not None:
       num16, snum = pallas_dm.demosaic_stencil(
-          ph_in, weights, *tiles_s, sample_step=sample_step)
-      samp = finish(snum * edge_renorm_factor_sampled(
-          weights, hh, wh, sample_step)[:, 0:3])
+          ph_in, weights, *tiles_s, sample_step=sample_step, finish=fin)
+      if fuse:
+        samp = snum.astype(out_dtype)  # kernel emits FINAL f32 samples
+      else:
+        samp = finish(snum * edge_renorm_factor_sampled(
+            weights, hh, wh, sample_step)[:, 0:3])
     else:
-      tiles = pallas_dm.tiling_for(hh, wh, in_bf16=in_bf16)
+      tiles = pallas_dm.tiling_for(hh, wh, in_bf16=in_bf16, out_bf16=fuse)
       assert tiles is not None, f"no pallas tiling for {(hh, wh)}"
-      num16 = pallas_dm.demosaic_stencil(ph_in, weights, *tiles)
-    out = finish(_edge_renorm(num16, weights, hh, wh))
+      num16 = pallas_dm.demosaic_stencil(ph_in, weights, *tiles,
+                                         finish=fin)
+    out = num16 if fuse else finish(_edge_renorm(num16, weights, hh, wh))
   elif hh >= 2 and wh >= 2:
     num = jax.lax.conv_general_dilated(
         phases.astype(jnp.float32), jnp.asarray(weights), (1, 1),

@@ -46,7 +46,7 @@ def _pick_tile(n: int, quantum: int, lo: int, hi: int):
 
 
 def tiling_for(hh: int, wh: int, sample_step: int = 0,
-               in_bf16: bool = False):
+               in_bf16: bool = False, out_bf16: bool = False):
   """(TR, TW) tile sizes, or None for shapes too small to tile.
 
   Arbitrary hh/wh are supported: the wrapper pads up to the tile grid
@@ -65,9 +65,10 @@ def tiling_for(hh: int, wh: int, sample_step: int = 0,
     return None
   tr = None
   in_bytes = 2 if in_bf16 else 4
+  out_bytes = 2 if out_bf16 else 4
   for cand in range(qr, min(((hh + qr - 1) // qr) * qr, 256) + 1, qr):
     halo = 4 * (cand + 2 * _HALO_R) * (tw + 2 * _HALO_C)
-    vmem = in_bytes * 2 * halo + 4 * 2 * (12 * cand * tw)
+    vmem = in_bytes * 2 * halo + out_bytes * 2 * (12 * cand * tw)
     if in_bf16:
       vmem += 4 * halo  # f32 conversion temporary
     if vmem <= _VMEM_BUDGET and (tr is None or
@@ -81,7 +82,7 @@ def _waste(n: int, t: int) -> int:
 
 
 def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
-                    *refs):
+                    finish, *refs):
   """Double-buffered halo stencil: while tile t computes, tile t+1's halo
   block is already in flight (DMA overlap measured +12%).
 
@@ -90,6 +91,13 @@ def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
   sample grid), compacted via one-hot MXU dots — strided reads of the
   main output in XLA cost ~13 ms at 6x4K (minor-dim gather); this emits
   the same values for free alongside the stencil.
+
+  When ``finish`` is set (a dict, see demosaic_stencil), the kernel also
+  applies the exact drop-tap border renormalization (iota masks + the
+  same factor arithmetic as ops/bayer.edge_renorm_factor), the optional
+  fused 3x3 CCM, the [0, 1] clip, and the output-dtype cast — emitting
+  the FINAL x12 instead of interior-normalized f32 numerators, which
+  skips a ~1.2 GB/step XLA round trip at 6x4K.
   """
   if sample_step:
     hbm_ref, rsel_ref, csel_ref, out_ref, samp_ref, scratch, sems = refs
@@ -124,7 +132,24 @@ def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
     cur = scratch[t % 2].astype(jnp.float32)
   else:
     cur = scratch.at[t % 2]
-  for oc in range(12):
+
+  if finish is not None:
+    # global position iotas for the border-renorm masks
+    r_blk = t % (ni * nj) // nj
+    c_blk = t % (ni * nj) % nj
+    rg = r_blk * tr + jax.lax.broadcasted_iota(jnp.int32, (tr, tw), 0)
+    cg = c_blk * tw + jax.lax.broadcasted_iota(jnp.int32, (tr, tw), 1)
+    hh_img, wh_img = finish["hh"], finish["wh"]
+    topf, botf, leftf, rightf = (finish["topf"], finish["botf"],
+                                 finish["leftf"], finish["rightf"])
+    cvals = finish["cvals"]  # (4, 12): tl, tr, bl, br corrections
+    ccm = finish["cc"]       # None or 3x3 numpy
+    on_top, on_bot = rg == 0, rg == hh_img - 1
+    on_left, on_right = cg == 0, cg == wh_img - 1
+    masks = (on_top & on_left, on_top & on_right,
+             on_bot & on_left, on_bot & on_right)
+
+  def taps(oc):
     a = None
     for q in range(4):
       for u in range(3):
@@ -135,10 +160,13 @@ def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
           s = cur[q, _HALO_R - 1 + u:_HALO_R - 1 + u + tr,
                   _HALO_C - 1 + v:_HALO_C - 1 + v + tw] * wgt
           a = s if a is None else a + s
-    # interior normalization only; border strips are renormalized by
-    # the XLA wrapper (exact drop-tap renorm, bayer.py edge strips)
-    val = a * inv_full[oc]
-    out_ref[0, oc] = val
+    return a * inv_full[oc]
+
+  def emit(oc, val):
+    if finish is not None:
+      out_ref[0, oc] = val.astype(out_ref.dtype)
+    else:
+      out_ref[0, oc] = val
     if sample_step and oc < 3:
       # HIGHEST precision: Mosaic's default f32 dot is bf16-reduced on
       # the MXU, which rounds the sampled values (caught on-chip by
@@ -150,9 +178,35 @@ def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
                                 precision=jax.lax.Precision.HIGHEST,
                                 preferred_element_type=jnp.float32)
 
+  if finish is None:
+    for oc in range(12):
+      emit(oc, taps(oc))
+    return
+
+  for p in range(4):
+    vals = []
+    for c in range(3):
+      oc = 3 * p + c
+      val = taps(oc)
+      # same factor arithmetic & multiply order as edge_renorm_factor
+      rvf = (jnp.where(on_top, jnp.float32(topf[oc]), 1.0)
+             * jnp.where(on_bot, jnp.float32(botf[oc]), 1.0))
+      cvv = (jnp.where(on_left, jnp.float32(leftf[oc]), 1.0)
+             * jnp.where(on_right, jnp.float32(rightf[oc]), 1.0))
+      f = rvf * cvv
+      for k in range(4):
+        f = jnp.where(masks[k], f * jnp.float32(cvals[k, oc]), f)
+      vals.append(val * f)
+    if ccm is not None:
+      vals = [vals[0] * float(ccm[d, 0]) + vals[1] * float(ccm[d, 1])
+              + vals[2] * float(ccm[d, 2]) for d in range(3)]
+    for c in range(3):
+      emit(3 * p + c, jnp.clip(vals[c], 0.0, 1.0))
+
 
 def demosaic_stencil(phases_f32, weights: np.ndarray, tr: int, tw: int,
-                     interpret: bool = False, sample_step: int = 0):
+                     interpret: bool = False, sample_step: int = 0,
+                     finish=None):
   """(N, 4, hh, wh) f32 OR bf16 phases -> (N, 12, hh, wh) f32 num/full
   (unclamped, interior-normalized). ``weights`` is the (12, 4, 3, 3)
   table. bf16 input is DMA'd as bf16 and converted in-kernel (exact;
@@ -162,6 +216,11 @@ def demosaic_stencil(phases_f32, weights: np.ndarray, tr: int, tw: int,
   row/col subsample of channels 0..2 (num/full values on the metering
   grid): ``(out, sample (N, 3, ceil(hh/s), ceil(wh/s)))``. Requires
   tr % sample_step == 0 and tw % sample_step == 0.
+
+  ``finish``: optional dict {hh, wh, topf, botf, leftf, rightf, cvals,
+  cc, out_dtype} — fuse border renorm + optional CCM + clip + cast
+  in-kernel and emit the FINAL x12 (and final f32 samples) instead of
+  numerators. Only valid for whole images (static borders).
   """
   n, _, hh, wh = phases_f32.shape
   ni, nj = -(-hh // tr), -(-wh // tw)
@@ -174,15 +233,16 @@ def demosaic_stencil(phases_f32, weights: np.ndarray, tr: int, tw: int,
                     (_HALO_C, _HALO_C + nj * tw - wh)))
   inv_full = tuple(float(1.0 / s) for s in weights.sum(axis=(1, 2, 3)))
   kernel = functools.partial(_stencil_kernel, weights, inv_full, tr, tw,
-                             ni, nj, nt, sample_step)
+                             ni, nj, nt, sample_step, finish)
 
   def out_map(t):
     nn = t // (ni * nj)
     r = t % (ni * nj)
     return (nn, 0, r // nj, r % nj)
 
+  out_dtype = finish["out_dtype"] if finish is not None else jnp.float32
   out_shapes = [jax.ShapeDtypeStruct((n, 12, ni * tr, nj * tw),
-                                     jnp.float32)]
+                                     out_dtype)]
   out_specs = [pl.BlockSpec((1, 12, tr, tw), out_map,
                             memory_space=pltpu.VMEM)]
   in_specs = [pl.BlockSpec(memory_space=pl.ANY)]

@@ -111,3 +111,41 @@ def test_stencil_bf16_input_bit_identical(rng):
   b = pallas_dm.demosaic_stencil(phases_bf16.astype(jnp.float32),
                                  weights, *tiles, interpret=True)
   np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("cc", [None, "ccm"])
+def test_stencil_fused_finish_matches_xla(cc, rng):
+  """finish-in-kernel (renorm+CCM+clip+bf16) must match the XLA finish
+  path bitwise: same f32 arithmetic, same rounding point."""
+  cc = None if cc is None else tuple(
+      np.array([[1.1, -0.05, 0.0], [0.02, 0.9, 0.08],
+                [0.0, -0.1, 1.05]], np.float32).ravel())
+  phases = jnp.asarray(rng.random((2, 4, 24, 256)), jnp.bfloat16)
+  ref = bayer.demosaic_phases(phases, bayer.BayerPattern.RGGB, cc=cc,
+                              out_dtype=jnp.bfloat16, backend="xla",
+                              sample_step=4)
+  got = None
+  import functools
+  orig_stencil = pallas_dm.demosaic_stencil
+  try:
+    pallas_dm.demosaic_stencil = functools.partial(orig_stencil,
+                                                   interpret=True)
+    got = bayer.demosaic_phases(phases, bayer.BayerPattern.RGGB, cc=cc,
+                                out_dtype=jnp.bfloat16, backend="pallas",
+                                sample_step=4)
+  finally:
+    pallas_dm.demosaic_stencil = orig_stencil
+  for a, b, name in ((ref[0], got[0], "x12"), (ref[1], got[1], "sample")):
+    av, bv = np.asarray(a, np.float32), np.asarray(b, np.float32)
+    np.testing.assert_allclose(bv, av, rtol=2e-2, atol=1e-3)
+    if cc is None:
+      # bitwise without CCM: identical multiply chains
+      assert np.array_equal(av, bv), name
+    else:
+      # the in-kernel 3-term CCM reduce may associate differently from
+      # XLA's einsum: <=1 bf16 ulp on <0.1% of pixels (contract: <=1 u8
+      # count end to end)
+      ai = np.asarray(a).view(np.uint16).astype(np.int32)
+      bi = np.asarray(b).view(np.uint16).astype(np.int32)
+      d = np.abs(ai - bi)
+      assert d.max() <= 1 and (d != 0).mean() < 1e-3, (name, d.max())
