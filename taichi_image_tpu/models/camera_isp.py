@@ -775,6 +775,44 @@ def _resize_planar(images, size, scale, work_dtype):
   return out.astype(types.canonical_dtype(work_dtype))
 
 
+# Applying an ImageTransform AFTER the phase->planar interleave lets XLA
+# merge the interleave and transform transposes into one pathological
+# 6-d transpose (+27 ms at 6x4K, measured — an optimization_barrier does
+# not stop the merge). Instead the transform happens in PHASE SPACE
+# (12-channel planes: the same geometric op on the half-res plane grids
+# plus a phase-channel permutation, exact because H and W are even), and
+# the standard interleave runs last: ~6 ms total instead of ~31.
+# Permutations below were validated exhaustively against the planar
+# path (tests/test_isp.py::test_phase_space_transforms).
+_PHASE_TRANSFORM_PERM = {
+    ImageTransform.rotate_90: (1, 3, 0, 2),
+    ImageTransform.rotate_180: (3, 2, 1, 0),
+    ImageTransform.rotate_270: (2, 0, 3, 1),
+    ImageTransform.transpose: (0, 2, 1, 3),
+    ImageTransform.flip_horiz: (2, 3, 0, 1),
+    ImageTransform.flip_vert: (1, 0, 3, 2),
+    ImageTransform.transverse: (3, 1, 2, 0),
+}
+
+
+def _transform_phases(x12, t: ImageTransform):
+  """ImageTransform on 12-channel phase form (N, 12, hh, wh): the plane
+  grids transform with the SAME geometric op; phases permute."""
+  if t == ImageTransform.none:
+    return x12
+  perm4 = _PHASE_TRANSFORM_PERM[t]
+  perm12 = [p * 3 + c for p in perm4 for c in range(3)]
+  xt = _transform_planar(x12, t)  # same spatial op, channel-agnostic
+  return xt[:, jnp.asarray(perm12)]
+
+
+def planar_from_phases_transformed(out12, t: ImageTransform,
+                                   out_dtype=None):
+  """(N, 12, hh, wh) -> transformed planar (N, C=3, h', w'), equal to
+  ``_transform_planar(phases_to_planar(out12), t)`` bitwise."""
+  return phases_to_planar(_transform_phases(out12, t), out_dtype)
+
+
 def _transform_planar(images, t: ImageTransform):
   """ImageTransform on planar (N, C, H, W) spatial dims."""
   if t == ImageTransform.none:
@@ -962,7 +1000,10 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
       # fast path: convert from phase form, no interleaved intermediate
       return new_metrics, yuv420_from_phases_u8(
           out12.reshape(n, 12, hh, wh))
-    out = phases_to_planar(out12.reshape(n, 12, hh, wh))
+    # transform in phase space (see _transform_phases) then interleave
+    out = planar_from_phases_transformed(out12.reshape(n, 12, hh, wh),
+                                         transform)
+    transform = ImageTransform.none
   out = _transform_planar(out, transform)
   if color_format == "yuv420":
     return new_metrics, yuv420_from_planar_u8(out)

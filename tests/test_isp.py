@@ -489,3 +489,19 @@ def test_process_unknown_color_format_raises():
   isp = Camera32(bayer.BayerPattern.RGGB)
   with pytest.raises(ValueError, match="color_format"):
     isp.process(raws, color_format="hsv")
+
+
+@pytest.mark.parametrize("t", [t for t in ImageTransform
+                               if t != ImageTransform.none])
+def test_phase_space_transforms(t, rng):
+  """planar_from_phases_transformed == transform(interleave) bitwise for
+  all 7 non-identity transforms (the phase-permutation table)."""
+  import jax.numpy as jnp
+  from taichi_image_tpu.models.camera_isp import (
+      _transform_planar, planar_from_phases_transformed)
+  from taichi_image_tpu.ops.bayer import phases_to_planar
+  x12 = jnp.asarray(rng.integers(0, 256, size=(2, 12, 6, 8),
+                                 dtype=np.uint8))
+  ref = np.asarray(_transform_planar(phases_to_planar(x12), t))
+  got = np.asarray(planar_from_phases_transformed(x12, t))
+  assert np.array_equal(ref, got), t

@@ -24,7 +24,8 @@ from taichi_image_tpu.ops.pallas import demosaic as pallas_dm
 N, H, W = 6, 2160, 3840
 WD = types.canonical_dtype(
     __import__("os").environ.get("TAICHI_PROBE_WD", "float16"))
-K, REPS = 10, 3
+K = int(__import__("os").environ.get("TAICHI_PROBE_K", "10"))
+REPS = 3
 
 
 def timeit(fn, raws, k=K, reps=REPS):
