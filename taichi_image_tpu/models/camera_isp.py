@@ -813,6 +813,42 @@ def planar_from_phases_transformed(out12, t: ImageTransform,
   return phases_to_planar(_transform_phases(out12, t), out_dtype)
 
 
+def _resize_from_phases(x12, size, scale, work_dtype):
+  """Bilinear resize directly from 12-channel phase form (N, 12, hh, wh)
+  -> planar (N, 3, h_out, w_out), bitwise-equal to
+  ``_resize_planar(phases_to_planar(x12), ...)``.
+
+  Gathering from the interleaved planar lets XLA fuse the phase->planar
+  6-d transpose into the gathers — a ~44 ms pathology at 6x4K (or a
+  remote-compiler crash when chained). Here row/column parities join the
+  gather axes instead: a static channel permutation to (c, cp, rp) makes
+  (rp, hh) a FREE merged view for the row taps; one cheap major-dim swap
+  then merges (cp, wh) for the column taps. ~13 ms at 6x4K
+  (tools/probe_resize2.py). Phase index is col-parity-major
+  (p = cp*2 + rp — see _PHASE_TRANSFORM_PERM validation)."""
+  n, _, hh, wh = x12.shape
+  h_in, w_in = 2 * hh, 2 * wh
+  w_out, h_out = size
+  r_lo, r_hi, r_f = _axis_samples(h_out, h_in, scale)
+  c_lo, c_hi, c_f = _axis_samples(w_out, w_in, scale)
+
+  perm = [(cp * 2 + rp) * 3 + c
+          for c in range(3) for cp in range(2) for rp in range(2)]
+  z = x12[:, jnp.asarray(perm)].reshape(n, 3, 2, 2 * hh, wh)
+  ri_lo = (r_lo % 2) * hh + r_lo // 2
+  ri_hi = (r_hi % 2) * hh + r_hi // 2
+  top = jnp.take(z, jnp.asarray(ri_lo), axis=3).astype(jnp.float32)
+  bot = jnp.take(z, jnp.asarray(ri_hi), axis=3).astype(jnp.float32)
+  rows = top + jnp.asarray(r_f)[None, None, None, :, None] * (bot - top)
+  rows = jnp.swapaxes(rows, 2, 3).reshape(n, 3, h_out, 2 * wh)
+  ci_lo = (c_lo % 2) * wh + c_lo // 2
+  ci_hi = (c_hi % 2) * wh + c_hi // 2
+  left = jnp.take(rows, jnp.asarray(ci_lo), axis=3)
+  right = jnp.take(rows, jnp.asarray(ci_hi), axis=3)
+  out = left + jnp.asarray(c_f)[None, None, None, :] * (right - left)
+  return out.astype(types.canonical_dtype(work_dtype))
+
+
 def _transform_planar(images, t: ImageTransform):
   """ImageTransform on planar (N, C, H, W) spatial dims."""
   if t == ImageTransform.none:
@@ -960,8 +996,7 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
 
   if resize_plan is not None:
     size, scale = resize_plan
-    planar = phases_to_planar(x12, types.canonical_dtype(work_dtype))
-    rgb = _resize_planar(planar, size, scale, work_dtype)
+    rgb = _resize_from_phases(x12, size, scale, work_dtype)
     strided = rgb[:, :, ::stride, ::stride]
     new_metrics = _meter(strided)
     if tonemap == "reinhard":

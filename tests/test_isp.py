@@ -505,3 +505,20 @@ def test_phase_space_transforms(t, rng):
   ref = np.asarray(_transform_planar(phases_to_planar(x12), t))
   got = np.asarray(planar_from_phases_transformed(x12, t))
   assert np.array_equal(ref, got), t
+
+
+@pytest.mark.parametrize("size,scale", [((24, 14), None), ((48, 32), None),
+                                        ((24, 16), 0.5), ((36, 24), 0.75)])
+def test_resize_from_phases_bitwise(size, scale, rng):
+  """_resize_from_phases == _resize_planar(phases_to_planar(...)) exactly
+  (same sources, same f32 lerp arithmetic) — the fused step's resize path."""
+  import jax.numpy as jnp
+  from taichi_image_tpu import types
+  from taichi_image_tpu.models.camera_isp import (_resize_from_phases,
+                                                  _resize_planar)
+  from taichi_image_tpu.ops.bayer import phases_to_planar
+  x12 = jnp.asarray(rng.random((2, 12, 16, 24)), jnp.bfloat16)
+  ref = np.asarray(_resize_planar(phases_to_planar(x12), size, scale,
+                                  types.bf16))
+  got = np.asarray(_resize_from_phases(x12, size, scale, types.bf16))
+  assert np.array_equal(ref.view(np.uint16), got.view(np.uint16))
