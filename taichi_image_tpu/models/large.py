@@ -50,8 +50,12 @@ __all__ = ["process_banded", "band_plan"]
 
 def band_plan(hh: int, n_bands: int, stride: int = 8):
   """Split hh half-res rows into bands whose starts align to the
-  half-res metering grid (stride//2). Returns [(r0, r1), ...]."""
-  q = max(stride // 2, 1)
+  half-res metering grid (stride//2). Band sizes quantize to
+  lcm(stride//2, 16) so the bf16 Reinhard-map kernel's exact-divisor
+  tiling exists for the band shapes. Returns [(r0, r1), ...]."""
+  q = int(np.lcm(max(stride // 2, 1), 16))
+  if hh < q:
+    q = max(stride // 2, 1)
   n_bands = max(1, min(n_bands, hh // q if hh >= q else 1))
   per = (-(-hh // n_bands) + q - 1) // q * q  # round band size up to q
   edges = []
@@ -76,14 +80,25 @@ def _band_demosaic(raw_band, fmt, ids_format, work_dtype, pattern, cc,
   n, _, hb2, wh = phases.shape
   hb = hb2 - 2
   weights = _demosaic_tables(pattern, "mhc")
-  num = jax.lax.conv_general_dilated(
-      phases.astype(jnp.float32), jnp.asarray(weights), (1, 1),
-      ((0, 0), (1, 1)),  # rows VALID (halo provides context), cols pad
-      dimension_numbers=("NCHW", "OIHW", "NCHW"),
-      precision=jax.lax.Precision.HIGHEST,
-      preferred_element_type=jnp.float32)
-  full = weights.sum(axis=(1, 2, 3))
-  out = num * jnp.asarray(1.0 / full, jnp.float32)[None, :, None, None]
+  from taichi_image_tpu.ops.pallas import demosaic as pallas_dm
+  if pallas_dm.pallas_available(hb2, wh):
+    # Pallas stencil on the halo'd band (claimed shape hb2); interior
+    # rows 1..hb read the real halo values exactly like the VALID conv,
+    # and the halo rows' own outputs are discarded
+    in_bf16 = phases.dtype == jnp.bfloat16
+    tiles = pallas_dm.tiling_for(hb2, wh, in_bf16=in_bf16)
+    ph_in = phases if in_bf16 else phases.astype(jnp.float32)
+    out = pallas_dm.demosaic_stencil(ph_in, weights, *tiles)[:, :,
+                                                             1:hb + 1]
+  else:
+    num = jax.lax.conv_general_dilated(
+        phases.astype(jnp.float32), jnp.asarray(weights), (1, 1),
+        ((0, 0), (1, 1)),  # rows VALID (halo provides context), cols pad
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    full = weights.sum(axis=(1, 2, 3))
+    out = num * jnp.asarray(1.0 / full, jnp.float32)[None, :, None, None]
   out = out * edge_renorm_factor(weights, hb, wh, is_top=is_top,
                                  is_bot=is_bot)
   if cc is not None:
@@ -108,6 +123,13 @@ def _jit_metering_bands(samples, prev, t, n_total):
 def _band_reinhard_map(x12, metrics, intensity, light_adapt, color_adapt,
                        work_dtype):
   n, _, hb, wh = x12.shape
+  if (types.canonical_dtype(work_dtype) == types.bf16
+      and x12.dtype == jnp.bfloat16
+      and isinstance(color_adapt, float) and color_adapt == 0.0):
+    from taichi_image_tpu.ops.pallas.reinhard import (
+        reinhard_bf16_available, reinhard_map_bf16_dma)
+    if reinhard_bf16_available(12, hb, wh):
+      return reinhard_map_bf16_dma(x12, metrics, intensity, light_adapt)
   p = reinhard_map_ca(x12.reshape(n, 4, 3, hb, wh), metrics, intensity,
                       light_adapt, color_adapt)
   band_max = jnp.max(p, axis=tuple(range(1, p.ndim)), keepdims=True)
