@@ -133,3 +133,14 @@ def test_example_camera_rig(tmp_path):
   finally:
     sys.argv = argv
   assert len(list((tmp_path / "rig").glob("*.jpg"))) == 2
+
+
+def test_bench_shootout_smoke(capsys):
+  """Cross-implementation race harness runs end-to-end (reference
+  analogue: bench/interpolate.py taichi-vs-torch.compile race)."""
+  from taichi_image_tpu.bench import shootout
+  shootout.main(["--size", "32", "48", "--k", "2", "--reps", "1"])
+  out = capsys.readouterr().out
+  assert "demosaic[xla]" in out
+  assert "decode12[xla]" in out
+  assert "resize+rot90[jax" in out
