@@ -43,15 +43,20 @@ def main(argv=None):
   parser.add_argument("--debug", action="store_true",
                       help="enable checkify validation in the fused step "
                            "(reference: ti.init(debug=True))")
+  parser.add_argument("--dtype", choices=["f16", "f32", "bf16"],
+                      default="f32",
+                      help="working dtype (bf16 = TPU fast path)")
   args = parser.parse_args(argv)
 
   if args.debug:
     import os
     os.environ["TAICHI_IMAGE_TPU_DEBUG"] = "1"
 
-  isp = camera_isp.Camera32(args.pattern, transform=args.transform,
-                            moving_alpha=args.moving_alpha,
-                            resize_width=args.resize_width)
+  cls = {"f16": camera_isp.Camera16, "f32": camera_isp.Camera32,
+         "bf16": camera_isp.CameraBF16}[args.dtype]
+  isp = cls(args.pattern, transform=args.transform,
+            moving_alpha=args.moving_alpha,
+            resize_width=args.resize_width)
 
   files = natsorted(p for p in args.images.iterdir()
                     if p.suffix in (".tiff", ".tif", ".png"))
