@@ -101,3 +101,47 @@ def test_apply_ca_bf16_route_integrated(monkeypatch, rng):
   # same math and rounding points; pow ulps may flip a count
   diff = np.abs(out_xla.astype(np.int16) - out_pl.astype(np.int16))
   assert diff.max() <= 1, diff.max()
+
+
+def test_fused_step_bf16_kernel_route_integrated(monkeypatch, rng):
+  """Full fused_isp_step with ALL bf16 Pallas kernel gates forced open
+  (interpret mode) vs the gates-closed XLA step: <=1 u8 count. Guards
+  the kernel WIRING (load_raw_phases -> decode kernel, demosaic_phases
+  -> fused-finish stencil, reinhard_apply_ca -> bf16 map kernel), which
+  unit tests cover only in isolation."""
+  import functools
+  import jax.numpy as jnp
+  from taichi_image_tpu.models.camera_isp import fused_isp_step
+  from taichi_image_tpu.ops.bayer import BayerPattern
+  from taichi_image_tpu.ops.interpolate import ImageTransform
+  from taichi_image_tpu.ops.pallas import decode as pld
+  from taichi_image_tpu.ops.pallas import demosaic as pldm
+  from taichi_image_tpu.ops.pallas import reinhard as plrh
+
+  raws = jnp.asarray(rng.integers(0, 256, size=(2, 64, 1152),
+                                  dtype=np.uint8))
+  args = (jnp.zeros(9, jnp.float32), jnp.float32(0.9), 1.0, 1.0, 1.0,
+          0.0, "packed12", False, types.bf16, BayerPattern.RGGB, None,
+          None, 8, ImageTransform.none, "reinhard")
+  m_ref, o_ref = jax.jit(lambda r: fused_isp_step(r, *args))(raws)
+
+  monkeypatch.setattr(pld, "decode_pallas_available", lambda h, wb: True)
+  monkeypatch.setattr(pld, "decode12_phases_bf16",
+                      functools.partial(pld.decode12_phases_bf16,
+                                        interpret=True))
+  monkeypatch.setattr(pldm, "pallas_available", lambda hh, wh: True)
+  monkeypatch.setattr(pldm, "demosaic_stencil",
+                      functools.partial(pldm.demosaic_stencil,
+                                        interpret=True))
+  monkeypatch.setattr(plrh, "reinhard_bf16_available",
+                      lambda nc, hh, wh: True)
+  monkeypatch.setattr(plrh, "reinhard_map_bf16_dma",
+                      functools.partial(plrh.reinhard_map_bf16_dma,
+                                        interpret=True))
+  m_pl, o_pl = jax.jit(lambda r: fused_isp_step(r, *args))(raws)
+
+  np.testing.assert_allclose(np.asarray(m_pl), np.asarray(m_ref),
+                             rtol=1e-6, atol=1e-6)
+  d = np.abs(np.asarray(o_pl).astype(int) - np.asarray(o_ref).astype(int))
+  assert d.max() <= 1, d.max()
+  assert (d != 0).mean() < 0.02
