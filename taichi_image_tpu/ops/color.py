@@ -27,6 +27,7 @@ __all__ = [
     "rgb_gray", "bgr_gray", "rgb_linear", "rgb_ciexyz",
     "rgb_yuv420", "yuv420_rgb", "split_yuv_420",
     "rgb_yuv420_image", "yuv420_rgb_image",
+    "bgr_YCrCb", "rgb_YCrCb", "YCrCb_bgr", "YCrCb_rgb",
 ]
 
 _GRAY = np.array([0.299, 0.587, 0.114], np.float32)
@@ -40,6 +41,35 @@ _YUV_M = np.array([
 ], np.float32)
 _YUV_M_INV = np.linalg.inv(_YUV_M.astype(np.float64)).astype(np.float32)
 _YUV_OFFSET = np.array([0.0, 0.5, 0.5], np.float32)
+
+
+def bgr_YCrCb(bgr):
+  """(..., 3) BGR [0,1] -> full-range YCrCb with the +0.5 chroma offset
+  (reference yuv_420.py:20-22)."""
+  y = jnp.einsum("...c,dc->...d", jnp.asarray(bgr, jnp.float32),
+                 jnp.asarray(_YUV_M), precision=jax.lax.Precision.HIGHEST)
+  return y + jnp.asarray(_YUV_OFFSET)
+
+
+def rgb_YCrCb(rgb):
+  """(..., 3) RGB -> YCrCb: the matrix applies to the channel-REVERSED
+  vector (reference yuv_420.py:25-26)."""
+  return bgr_YCrCb(jnp.asarray(rgb)[..., ::-1])
+
+
+def YCrCb_bgr(ycrcb):
+  """Inverse of :func:`bgr_YCrCb` (reference yuv_420.py:29-30; the
+  inverse matrix is computed at import like ``bgr_T_YCrCb``)."""
+  return jnp.einsum("...c,dc->...d",
+                    jnp.asarray(ycrcb, jnp.float32)
+                    - jnp.asarray(_YUV_OFFSET),
+                    jnp.asarray(_YUV_M_INV),
+                    precision=jax.lax.Precision.HIGHEST)
+
+
+def YCrCb_rgb(ycrcb):
+  """(reference yuv_420.py:33-34)."""
+  return YCrCb_bgr(ycrcb)[..., ::-1]
 
 
 def rgb_gray(rgb):

@@ -65,3 +65,26 @@ def test_ciexyz_white():
   white = np.ones((1, 1, 3), np.float32)
   xyz = np.asarray(color.rgb_ciexyz(white))
   np.testing.assert_allclose(xyz[0, 0], [0.9505, 1.0, 1.089], atol=1e-3)
+
+
+def test_point_conversions_roundtrip(rng):
+  """rgb_YCrCb/YCrCb_rgb and bgr variants (reference yuv_420.py:20-34):
+  matrix applied to the channel-reversed vector, +0.5 chroma offset,
+  roundtrip to f32 tolerance."""
+  import jax.numpy as jnp
+  from taichi_image_tpu.ops import color
+  rgb = jnp.asarray(rng.random((5, 7, 3)), jnp.float32)
+  y = np.asarray(color.rgb_YCrCb(rgb))
+  # Y channel equals the luma of the REVERSED vector fed to row 0:
+  # row0 . bgr = .299 B + .587 G + .114 R (the reference quirk)
+  want_y = (0.299 * np.asarray(rgb)[..., 2] + 0.587 * np.asarray(rgb)[..., 1]
+            + 0.114 * np.asarray(rgb)[..., 0])
+  np.testing.assert_allclose(y[..., 0], want_y, rtol=1e-5, atol=1e-6)
+  assert y[..., 1:].min() >= -0.1 and y[..., 1:].max() <= 1.1
+  back = np.asarray(color.YCrCb_rgb(jnp.asarray(y)))
+  np.testing.assert_allclose(back, np.asarray(rgb), rtol=1e-4, atol=1e-5)
+  bgr = rgb[..., ::-1]
+  np.testing.assert_allclose(np.asarray(color.bgr_YCrCb(bgr)), y,
+                             rtol=1e-6, atol=1e-7)
+  np.testing.assert_allclose(np.asarray(color.YCrCb_bgr(jnp.asarray(y))),
+                             np.asarray(bgr), rtol=1e-4, atol=1e-5)
