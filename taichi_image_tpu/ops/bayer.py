@@ -394,11 +394,11 @@ def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",
     # exact and halves the halo-DMA traffic); everything else pre-casts
     in_bf16 = phases.dtype == jnp.bfloat16
     ph_in = phases if in_bf16 else phases.astype(jnp.float32)
-    # bf16 output fuses renorm+CCM+clip+cast IN-KERNEL (emitting final
-    # x12 directly skips the f32-numerator round trip, ~1.2 GB at 6x4K);
-    # the f16/f32 paths keep the XLA finish (Mosaic cannot emit f16, and
-    # the f32 golden contract predates the fused path)
-    fuse = jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16)
+    # bf16/f32 output fuses renorm+CCM+clip+cast IN-KERNEL (emitting
+    # final x12 directly skips the f32-numerator round trip, ~1.2 GB at
+    # 6x4K); f16 keeps the XLA finish (Mosaic cannot emit f16)
+    fuse = jnp.dtype(out_dtype) in (jnp.dtype(jnp.bfloat16),
+                                    jnp.dtype(jnp.float32))
     fin = _stencil_finish_spec(weights, hh, wh, cc, out_dtype) if fuse         else None
     tiles_s = (pallas_dm.tiling_for(hh, wh, sample_step, in_bf16=in_bf16,
                                     out_bf16=fuse)
