@@ -83,12 +83,16 @@ def race_decode(h, w, k, reps):
   out = {}
   import os
   its = None
+  prior = os.environ.get("TAICHI_IMAGE_TPU_NO_PALLAS")
   try:
     os.environ["TAICHI_IMAGE_TPU_NO_PALLAS"] = "1"
     its = _chain(lambda r: load_raw_phases(r, "packed12", types.bf16),
                  raws, k, reps)
   finally:
-    del os.environ["TAICHI_IMAGE_TPU_NO_PALLAS"]
+    if prior is None:
+      os.environ.pop("TAICHI_IMAGE_TPU_NO_PALLAS", None)
+    else:
+      os.environ["TAICHI_IMAGE_TPU_NO_PALLAS"] = prior
   out["xla"] = its
   print(f"decode12[xla]:    {its:8.1f} it/s", flush=True)
   if pld.decode_pallas_available(h, w * 3 // 2):

@@ -132,8 +132,12 @@ def _band_reinhard_map(x12, metrics, intensity, light_adapt, color_adapt,
       return reinhard_map_bf16_dma(x12, metrics, intensity, light_adapt)
   p = reinhard_map_ca(x12.reshape(n, 4, 3, hb, wh), metrics, intensity,
                       light_adapt, color_adapt)
-  band_max = jnp.max(p, axis=tuple(range(1, p.ndim)), keepdims=True)
-  return p.astype(types.canonical_dtype(work_dtype)), band_max
+  # match the kernel path's shapes exactly — bands may MIX paths (a
+  # short last band can be ineligible for the kernel tiling), and
+  # process_banded stacks the maxes / concatenates the p bands
+  band_max = jnp.max(p, axis=tuple(range(1, p.ndim))).reshape(n, 1, 1, 1)
+  return (p.astype(types.canonical_dtype(work_dtype))
+          .reshape(n, 12, hb, wh), band_max)
 
 
 @partial(jax.jit, static_argnames=("gamma", "color_format"),

@@ -155,12 +155,5 @@ def decode12_phases_bf16(raws_u8, ids_format: bool = False,
 def decode_pallas_available(h: int, wb: int) -> bool:
   """True when the Pallas packed12 decode can run: TPU backend, the
   off-switch unset, and a legal tiling."""
-  if os.environ.get("TAICHI_IMAGE_TPU_NO_PALLAS"):
-    return False
-  try:
-    backend = jax.default_backend()
-  except Exception:
-    return False
-  if backend not in ("tpu", "axon"):
-    return False
-  return decode_tiling(h, wb) is not None
+  from taichi_image_tpu.ops.pallas import backend_enabled
+  return backend_enabled() and decode_tiling(h, wb) is not None

@@ -294,12 +294,5 @@ def demosaic_stencil(phases_f32, weights: np.ndarray, tr: int, tw: int,
 def pallas_available(hh: int, wh: int) -> bool:
   """True if the Pallas demosaic can run: TPU backend, tileable shape,
   not disabled via TAICHI_IMAGE_TPU_NO_PALLAS."""
-  if os.environ.get("TAICHI_IMAGE_TPU_NO_PALLAS"):
-    return False
-  try:
-    backend = jax.default_backend()
-  except Exception:
-    return False
-  if backend not in ("tpu", "axon"):
-    return False
-  return tiling_for(hh, wh) is not None
+  from taichi_image_tpu.ops.pallas import backend_enabled
+  return backend_enabled() and tiling_for(hh, wh) is not None

@@ -252,16 +252,9 @@ def reinhard_map_bf16_dma(x_bf16, metrics, intensity, light_adapt,
 def reinhard_bf16_available(nc: int, hh: int, wh: int) -> bool:
   """True when the bf16 manual-DMA map kernel can run: TPU backend, the
   off-switch unset, C a multiple of 3, and an exact-divisor tiling."""
-  import os
-  if os.environ.get("TAICHI_IMAGE_TPU_NO_PALLAS"):
-    return False
-  try:
-    backend = jax.default_backend()
-  except Exception:
-    return False
-  if backend not in ("tpu", "axon"):
-    return False
-  return nc % 3 == 0 and bf16_tiling(hh, wh, nc) is not None
+  from taichi_image_tpu.ops.pallas import backend_enabled
+  return (backend_enabled() and nc % 3 == 0
+          and bf16_tiling(hh, wh, nc) is not None)
 
 
 def packed_tiling(hh: int, wh: int):
@@ -463,13 +456,5 @@ def reinhard_map_packed(w_i32, metrics, intensity, light_adapt,
 
 
 def reinhard_pallas_available(hh: int, wh: int) -> bool:
-  import os
-  if os.environ.get("TAICHI_IMAGE_TPU_NO_PALLAS"):
-    return False
-  try:
-    backend = jax.default_backend()
-  except Exception:
-    return False
-  if backend not in ("tpu", "axon"):
-    return False
-  return reinhard_tiling(hh, wh) is not None
+  from taichi_image_tpu.ops.pallas import backend_enabled
+  return backend_enabled() and reinhard_tiling(hh, wh) is not None

@@ -102,3 +102,30 @@ def test_banded_hwc_layout():
   out = Camera32(BayerPattern.RGGB).process_large(raws, n_bands=2,
                                                   layout="hwc")
   assert out.shape == (2, 64, 96, 3) and out.dtype == np.uint8
+
+
+def test_banded_mixed_kernel_paths_shapes(monkeypatch, rng):
+  """A short last band may be ineligible for the bf16 Reinhard kernel
+  tiling while other bands take it — the two _band_reinhard_map paths
+  must return identically-shaped (p, max) or process_banded crashes at
+  jnp.stack (found by review; reproduced on TPU with h=72)."""
+  import functools
+  import jax.numpy as jnp
+  from taichi_image_tpu import types
+  from taichi_image_tpu.ops.pallas import reinhard as plrh
+
+  raws = jnp.asarray(rng.integers(0, 256, size=(1, 72, 384),
+                                  dtype=np.uint8))
+  # force the kernel route for eligible shapes (interpret mode on CPU);
+  # hb=4 (the 4-row tail band) stays ineligible -> mixed paths
+  monkeypatch.setattr(
+      plrh, "reinhard_bf16_available",
+      lambda nc, hh, wh: plrh.bf16_tiling(hh, wh, nc) is not None)
+  monkeypatch.setattr(plrh, "reinhard_map_bf16_dma",
+                      functools.partial(plrh.reinhard_map_bf16_dma,
+                                        interpret=True))
+  m, out = large.process_banded(
+      raws, np.zeros(9, np.float32), 0.9, n_bands=2,
+      work_dtype=types.bf16, pattern=BayerPattern.RGGB)
+  assert out.shape == (1, 3, 72, 256)
+  assert np.isfinite(np.asarray(m)).all()
