@@ -620,12 +620,20 @@ def load_raw_phases(raws, fmt: str, work_dtype, ids_format: bool = False):
     return (phases.astype(jnp.float32)
             * jnp.float32(scale / 4095.0)).astype(wd)
   if fmt == "packed16":
-    lo = raws[:, :, 0::2].astype(jnp.uint16)
-    hi = raws[:, :, 1::2].astype(jnp.uint16)
-    u16 = (hi << 8) | lo
-    phases = cfa_phases(u16)
-    return (phases.astype(jnp.float32)
-            * jnp.float32(scale / 65535.0)).astype(wd)
+    # byte-quad reshape: pixel-pair bytes (lo_e, hi_e, lo_o, hi_o) split
+    # on a free minor-dim-4 view; u16 assembly in exact f32 arithmetic
+    # (values <= 65535). Avoids both the u16 intermediate (16-bit int
+    # converts are scalarized on this backend) and full-res lane-stride
+    # slices (~158 -> 7.4 ms at 6x4K, bit-identical).
+    n, h, wb = raws.shape
+    b = raws.reshape(n, h, wb // 4, 4)
+    even = (b[..., 1].astype(jnp.float32) * 256.0
+            + b[..., 0].astype(jnp.float32))
+    odd = (b[..., 3].astype(jnp.float32) * 256.0
+           + b[..., 2].astype(jnp.float32))
+    phases = jnp.stack([even[:, 0::2], odd[:, 0::2],
+                        even[:, 1::2], odd[:, 1::2]], axis=1)
+    return (phases * jnp.float32(scale / 65535.0)).astype(wd)
   if fmt == "u16":
     phases = cfa_phases(raws)
     return (phases.astype(jnp.float32) / 65535.0).astype(wd)

@@ -236,9 +236,19 @@ def _interleave_table():
 
 def cfa_phases(cfa):
   """(N, H, W) CFA -> (N, 4, H/2, W/2) phase planes, in-phase order
-  (row%2)*2 + col%2. Strided slices only — no minor-dim reshapes."""
-  return jnp.stack([cfa[:, 0::2, 0::2], cfa[:, 0::2, 1::2],
-                    cfa[:, 1::2, 0::2], cfa[:, 1::2, 1::2]], axis=1)
+  (row%2)*2 + col%2.
+
+  Column parity splits via a free minor-dim-2 reshape instead of
+  lane-stride-2 slices: XLA lowers stride-2 lane slices of a full-res
+  array as a pathological gather (~158 ms for one 6x4K f32 frame set,
+  measured on v5e — 18x slower than this formulation, ~8.9 ms), and the
+  cost is the same for u16/f32 alike. Row parity stays a sublane-stride
+  slice (cheap)."""
+  n, h, w = cfa.shape
+  b = cfa.reshape(n, h, w // 2, 2)
+  even, odd = b[..., 0], b[..., 1]
+  return jnp.stack([even[:, 0::2], odd[:, 0::2],
+                    even[:, 1::2], odd[:, 1::2]], axis=1)
 
 
 def edge_renorm_factor(weights, hh, wh, is_top=True, is_bot=True):
