@@ -35,7 +35,7 @@ from taichi_image_tpu import types
 from taichi_image_tpu.ops import bayer as bayer_ops
 from taichi_image_tpu.ops import interpolate, packed
 from taichi_image_tpu.ops.bayer import (cfa_phases, demosaic_phases,
-                                        phases_to_planar)
+                                        phases_to_planar, subsample_hw)
 from taichi_image_tpu.ops.color import rgb_gray
 from taichi_image_tpu.ops.interpolate import ImageTransform, _axis_samples
 from taichi_image_tpu.utils import debug as debug_util
@@ -1005,6 +1005,10 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
   if resize_plan is not None:
     size, scale = resize_plan
     rgb = _resize_from_phases(x12, size, scale, work_dtype)
+    # NOTE: a plain strided slice here FUSES into the resize producer
+    # (XLA only computes the sampled positions): measured 1.8 ms faster
+    # than the reshape-select subsample_hw, which forces rgb to be read
+    # in full. subsample_hw wins only on materialized arrays.
     strided = rgb[:, :, ::stride, ::stride]
     new_metrics = _meter(strided)
     if tonemap == "reinhard":
@@ -1017,7 +1021,7 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
   elif stride % 2 != 0:
     # odd metering stride: fall back to assembling planar first
     rgb = phases_to_planar(x12, types.canonical_dtype(work_dtype))
-    strided = rgb[:, :, ::stride, ::stride]
+    strided = subsample_hw(rgb, stride, stride)
     new_metrics = _meter(strided)
     if tonemap == "reinhard":
       out = reinhard_apply_ca(rgb, new_metrics, gamma, intensity,

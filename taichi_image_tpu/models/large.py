@@ -108,7 +108,9 @@ def _band_demosaic(raw_band, fmt, ids_format, work_dtype, pattern, cc,
                    precision=jax.lax.Precision.HIGHEST)
     out = x.reshape(n, 12, hb, wh)
   x12 = jnp.clip(out, 0.0, 1.0).astype(wd)
-  sample = x12[:, 0:3, ::max(stride // 2, 1), ::max(stride // 2, 1)]
+  from taichi_image_tpu.ops.bayer import subsample_hw
+  sq = max(stride // 2, 1)
+  sample = subsample_hw(x12[:, 0:3], sq, sq)
   return x12, sample
 
 

@@ -234,6 +234,19 @@ def _interleave_table():
 # ---------------------------------------------------------------------------
 
 
+def subsample_hw(x, sr: int, sc: int):
+  """``x[..., ::sr, ::sc]`` with identical values, via free minor-dim
+  reshapes when the dims divide: XLA lowers strided slices on the two
+  minor (tiled) dims as pathological gathers on TPU (~13-158 ms at 4K
+  scales, see docs/PERFORMANCE.md); the reshape-select form compiles to
+  a cheap windowed copy."""
+  h, w = x.shape[-2], x.shape[-1]
+  if sr <= 0 or sc <= 0 or h % sr or w % sc:
+    return x[..., ::sr, ::sc]
+  r = x.reshape(*x.shape[:-2], h // sr, sr, w // sc, sc)
+  return r[..., 0, :, 0]
+
+
 def cfa_phases(cfa):
   """(N, H, W) CFA -> (N, 4, H/2, W/2) phase planes, in-phase order
   (row%2)*2 + col%2.
@@ -450,7 +463,7 @@ def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",
   if not sample_step:
     return out
   if samp is None:
-    samp = out[:, 0:3, ::sample_step, ::sample_step]
+    samp = subsample_hw(out[:, 0:3], sample_step, sample_step)
   return out, samp
 
 

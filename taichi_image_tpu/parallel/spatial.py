@@ -159,7 +159,7 @@ def make_spatial_isp_step(mesh: Mesh, *, fmt: str = "packed12",
                           "mhc", axis_name)
     x12 = x12.astype(types.canonical_dtype(work_dtype))
     n, _, hh_l, wh = x12.shape
-    strided = x12[:, 0:3, ::stride // 2, ::stride // 2]
+    strided = bayer_ops.subsample_hw(x12[:, 0:3], stride // 2, stride // 2)
     metrics = metering_update_ca(strided, prev, t, axis_name=axis_name,
                                  n_total=n_total)
     if tonemap == "reinhard":
@@ -209,7 +209,7 @@ def make_grid_isp_step(mesh: Mesh, *, fmt: str = "packed12",
                           "mhc", row_axis)
     x12 = x12.astype(types.canonical_dtype(work_dtype))
     n, _, hh_l, wh = x12.shape
-    strided = x12[:, 0:3, ::stride // 2, ::stride // 2]
+    strided = bayer_ops.subsample_hw(x12[:, 0:3], stride // 2, stride // 2)
     metrics = metering_update_ca(strided, prev, t, axis_name=both,
                                  n_total=n_total)
     if tonemap == "reinhard":

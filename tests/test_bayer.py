@@ -135,3 +135,18 @@ def test_tiny_images_exact(shape):
   got = np.asarray(bayer.bayer_to_rgb(cfa, bayer.BayerPattern.RGGB))
   want = bayer_to_rgb_oracle(cfa, "RGGB")
   np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,sr,sc", [((2, 3, 32, 64), 4, 4),
+                                         ((1, 12, 24, 48), 2, 8),
+                                         ((2, 3, 30, 50), 4, 4),
+                                         ((5, 13), 3, 5)])
+def test_subsample_hw_matches_strided_slice(shape, sr, sc, rng):
+  """subsample_hw == x[..., ::sr, ::sc] exactly, including non-divisible
+  shapes (which take the strided-slice fallback)."""
+  import jax.numpy as jnp
+  from taichi_image_tpu.ops.bayer import subsample_hw
+  x = jnp.asarray(rng.random(shape), jnp.float32)
+  ref = np.asarray(x)[..., ::sr, ::sc]
+  got = np.asarray(subsample_hw(x, sr, sc))
+  assert np.array_equal(ref, got)
