@@ -159,8 +159,9 @@ def _resize_batch(images, size, scale, work_dtype):
   reference's truncation-anchored sampling (interpolate.py:59-66)."""
   n, h_in, w_in = images.shape[:3]
   w_out, h_out = size
-  r_lo, r_hi, r_f = _axis_samples(h_out, h_in, scale)
-  c_lo, c_hi, c_f = _axis_samples(w_out, w_in, scale)
+  sy, sx = _plan_scales(h_in, w_in, size, scale)
+  r_lo, r_hi, r_f = _axis_samples(h_out, h_in, sy)
+  c_lo, c_hi, c_f = _axis_samples(w_out, w_in, sx)
   x = images.astype(jnp.float32)
   top = jnp.take(x, jnp.asarray(r_lo), axis=1)
   bot = jnp.take(x, jnp.asarray(r_hi), axis=1)
@@ -771,8 +772,9 @@ def _resize_planar(images, size, scale, work_dtype):
   """Bilinear resize on planar (N, 3, H, W) with reference sampling."""
   h_in, w_in = images.shape[2], images.shape[3]
   w_out, h_out = size
-  r_lo, r_hi, r_f = _axis_samples(h_out, h_in, scale)
-  c_lo, c_hi, c_f = _axis_samples(w_out, w_in, scale)
+  sy, sx = _plan_scales(h_in, w_in, size, scale)
+  r_lo, r_hi, r_f = _axis_samples(h_out, h_in, sy)
+  c_lo, c_hi, c_f = _axis_samples(w_out, w_in, sx)
   x = images.astype(jnp.float32)
   top = jnp.take(x, jnp.asarray(r_lo), axis=2)
   bot = jnp.take(x, jnp.asarray(r_hi), axis=2)
@@ -821,6 +823,17 @@ def planar_from_phases_transformed(out12, t: ImageTransform,
   return phases_to_planar(_transform_phases(out12, t), out_dtype)
 
 
+def _plan_scales(h_in, w_in, size, scale):
+  """(scale_y, scale_x) for a resize_plan: a None scale derives per-axis
+  factors from the target size (matching ops.interpolate._norm_scale —
+  a bare (size, None) plan previously fed NaN into the sample grid)."""
+  if scale is None:
+    return (size[1] / h_in, size[0] / w_in)
+  if np.ndim(scale) == 0:
+    return (float(scale), float(scale))
+  return (float(scale[0]), float(scale[1]))
+
+
 def _resize_from_phases(x12, size, scale, work_dtype):
   """Bilinear resize directly from 12-channel phase form (N, 12, hh, wh)
   -> planar (N, 3, h_out, w_out), bitwise-equal to
@@ -837,8 +850,9 @@ def _resize_from_phases(x12, size, scale, work_dtype):
   n, _, hh, wh = x12.shape
   h_in, w_in = 2 * hh, 2 * wh
   w_out, h_out = size
-  r_lo, r_hi, r_f = _axis_samples(h_out, h_in, scale)
-  c_lo, c_hi, c_f = _axis_samples(w_out, w_in, scale)
+  sy, sx = _plan_scales(h_in, w_in, size, scale)
+  r_lo, r_hi, r_f = _axis_samples(h_out, h_in, sy)
+  c_lo, c_hi, c_f = _axis_samples(w_out, w_in, sx)
 
   perm = [(cp * 2 + rp) * 3 + c
           for c in range(3) for cp in range(2) for rp in range(2)]

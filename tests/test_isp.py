@@ -522,3 +522,54 @@ def test_resize_from_phases_bitwise(size, scale, rng):
                                   types.bf16))
   got = np.asarray(_resize_from_phases(x12, size, scale, types.bf16))
   assert np.array_equal(ref.view(np.uint16), got.view(np.uint16))
+
+
+def test_fused_step_shape_fuzz():
+  """Seeded fuzz over shapes/configs: the fused step must produce
+  correctly-shaped, finite outputs for arbitrary even geometries and
+  config combinations (catches shape-edge bugs like the banded
+  mixed-path crash found in round-2 review)."""
+  import jax
+  import jax.numpy as jnp
+  from taichi_image_tpu import types
+  from taichi_image_tpu.models.camera_isp import fused_isp_step
+  from taichi_image_tpu.ops.bayer import BayerPattern
+  from taichi_image_tpu.ops.interpolate import ImageTransform
+
+  rng = np.random.default_rng(42)
+  patterns = list(BayerPattern)
+  transforms = list(ImageTransform)
+  wds = [types.f16, types.f32, types.bf16]
+  for trial in range(12):
+    n = int(rng.integers(1, 4))
+    h = 2 * int(rng.integers(8, 40))
+    w = 2 * int(rng.integers(12, 48))
+    if (w * 3) % 2:  # packed12 needs W*3/2 integral (w even already)
+      continue
+    wd = wds[trial % 3]
+    pat = patterns[int(rng.integers(0, 4))]
+    t = transforms[int(rng.integers(0, len(transforms)))]
+    stride = int(rng.choice([2, 4, 8]))
+    resize = None
+    if rng.random() < 0.3:
+      rw = 2 * int(rng.integers(6, max(7, w // 4)))
+      rh = 2 * int(rng.integers(6, max(7, h // 4)))
+      resize = ((rw, rh), None)
+    tonemap = "linear" if rng.random() < 0.3 else "reinhard"
+    raws = jnp.asarray(rng.integers(0, 256, size=(n, h, w * 3 // 2),
+                                    dtype=np.uint8))
+    m, out = jax.jit(lambda r, wd=wd, pat=pat, t=t, s=stride, rz=resize,
+                     tm=tonemap: fused_isp_step(
+        r, jnp.zeros(9, jnp.float32), jnp.float32(0.5), 1.0, 1.0, 1.0,
+        0.0, "packed12", False, wd, pat, None, rz, s, t, tm))(raws)
+    if resize is not None:
+      eh, ew = resize[0][1], resize[0][0]
+    else:
+      eh, ew = h, w
+    if t in (ImageTransform.rotate_90, ImageTransform.rotate_270,
+             ImageTransform.transpose, ImageTransform.transverse):
+      eh, ew = ew, eh
+    assert out.shape == (n, 3, eh, ew), (trial, out.shape, (n, 3, eh, ew))
+    assert out.dtype == jnp.uint8
+    assert np.isfinite(np.asarray(m)).all(), trial
+    assert np.asarray(out).std() > 0, trial
