@@ -181,7 +181,11 @@ def _bf16_kernel_dma(tr, tw, ni, nj, nt, ng, hbm_ref, s_ref, p_ref, mx_ref,
     b = (cur[3 * k + 2].astype(jnp.float32) - m0) / rng
     gray = 0.299 * r + 0.587 * g + 0.114 * b
     adapt_mean = mean + la * (gray - mean)
-    adapt = jnp.power(eni * adapt_mean, mk)
+    # exp2(k*log2(b)) instead of pow: ~9% faster on the VPU (4.66 ->
+    # 4.25 ms standalone at 6x4K) with identical edge semantics
+    # (b<0 -> NaN -> zeroed; b=0 -> 0) and <=1 bf16 ulp of pow — inside
+    # the documented <=1 u8 count contract vs the XLA path.
+    adapt = jnp.exp2(mk * jnp.log2(eni * adapt_mean))
     for c, scaled in ((0, r), (1, g), (2, b)):
       p = scaled * (1.0 / (adapt + scaled))
       p = jnp.where(jnp.isnan(p), 0.0, p)
