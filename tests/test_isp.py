@@ -556,12 +556,21 @@ def test_fused_step_shape_fuzz():
       rh = 2 * int(rng.integers(6, max(7, h // 4)))
       resize = ((rw, rh), None)
     tonemap = "linear" if rng.random() < 0.3 else "reinhard"
+    ids = bool(rng.random() < 0.3)
+    cfmt = "yuv420" if (rng.random() < 0.25 and resize is None
+                        and t == ImageTransform.none) else "rgb"
     raws = jnp.asarray(rng.integers(0, 256, size=(n, h, w * 3 // 2),
                                     dtype=np.uint8))
     m, out = jax.jit(lambda r, wd=wd, pat=pat, t=t, s=stride, rz=resize,
-                     tm=tonemap: fused_isp_step(
+                     tm=tonemap, ids=ids, cf=cfmt: fused_isp_step(
         r, jnp.zeros(9, jnp.float32), jnp.float32(0.5), 1.0, 1.0, 1.0,
-        0.0, "packed12", False, wd, pat, None, rz, s, t, tm))(raws)
+        0.0, "packed12", ids, wd, pat, None, rz, s, t, tm,
+        color_format=cf))(raws)
+    if cfmt == "yuv420":
+      y, uv = out
+      assert y.shape == (n, h, w) and uv.shape == (n, 2, h // 2, w // 2)
+      assert np.isfinite(np.asarray(m)).all(), trial
+      continue
     if resize is not None:
       eh, ew = resize[0][1], resize[0][0]
     else:
