@@ -80,19 +80,11 @@ def race_decode(h, w, k, reps):
                                      dtype=np.uint8))
   from taichi_image_tpu.models.camera_isp import load_raw_phases
   from taichi_image_tpu.ops.pallas import decode as pld
+  from taichi_image_tpu.ops.pallas import no_pallas
   out = {}
-  import os
-  its = None
-  prior = os.environ.get("TAICHI_IMAGE_TPU_NO_PALLAS")
-  try:
-    os.environ["TAICHI_IMAGE_TPU_NO_PALLAS"] = "1"
+  with no_pallas():
     its = _chain(lambda r: load_raw_phases(r, "packed12", types.bf16),
                  raws, k, reps)
-  finally:
-    if prior is None:
-      os.environ.pop("TAICHI_IMAGE_TPU_NO_PALLAS", None)
-    else:
-      os.environ["TAICHI_IMAGE_TPU_NO_PALLAS"] = prior
   out["xla"] = its
   print(f"decode12[xla]:    {its:8.1f} it/s", flush=True)
   if pld.decode_pallas_available(h, w * 3 // 2):

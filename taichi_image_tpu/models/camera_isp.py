@@ -824,14 +824,10 @@ def planar_from_phases_transformed(out12, t: ImageTransform,
 
 
 def _plan_scales(h_in, w_in, size, scale):
-  """(scale_y, scale_x) for a resize_plan: a None scale derives per-axis
-  factors from the target size (matching ops.interpolate._norm_scale —
-  a bare (size, None) plan previously fed NaN into the sample grid)."""
-  if scale is None:
-    return (size[1] / h_in, size[0] / w_in)
-  if np.ndim(scale) == 0:
-    return (float(scale), float(scale))
-  return (float(scale[0]), float(scale[1]))
+  """(scale_y, scale_x) for a resize_plan via the public resize API's
+  normalization (a bare (size, None) plan previously fed NaN into the
+  sample grid)."""
+  return interpolate._norm_scale_hw(h_in, w_in, size, scale)
 
 
 def _resize_from_phases(x12, size, scale, work_dtype):

@@ -422,9 +422,13 @@ def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",
     # 6x4K); f16 keeps the XLA finish (Mosaic cannot emit f16)
     fuse = jnp.dtype(out_dtype) in (jnp.dtype(jnp.bfloat16),
                                     jnp.dtype(jnp.float32))
-    fin = _stencil_finish_spec(weights, hh, wh, cc, out_dtype) if fuse         else None
+    fin = (_stencil_finish_spec(weights, hh, wh, cc, out_dtype)
+           if fuse else None)
+    # out_bf16 sizes the OUTPUT double-buffers: true only for an actual
+    # bf16 out dtype (a fused f32 finish still writes 4-byte blocks)
+    out_bf16 = fuse and jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16)
     tiles_s = (pallas_dm.tiling_for(hh, wh, sample_step, in_bf16=in_bf16,
-                                    out_bf16=fuse)
+                                    out_bf16=out_bf16)
                if sample_step else None)
     if tiles_s is not None:
       num16, snum = pallas_dm.demosaic_stencil(
@@ -435,7 +439,8 @@ def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",
         samp = finish(snum * edge_renorm_factor_sampled(
             weights, hh, wh, sample_step)[:, 0:3])
     else:
-      tiles = pallas_dm.tiling_for(hh, wh, in_bf16=in_bf16, out_bf16=fuse)
+      tiles = pallas_dm.tiling_for(hh, wh, in_bf16=in_bf16,
+                                   out_bf16=out_bf16)
       assert tiles is not None, f"no pallas tiling for {(hh, wh)}"
       num16 = pallas_dm.demosaic_stencil(ph_in, weights, *tiles,
                                          finish=fin)

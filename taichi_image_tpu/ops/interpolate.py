@@ -140,13 +140,19 @@ def _resize_nearest(src, size, scale, in_dtype, out_dtype):
   return out.astype(out_dt)
 
 
-def _norm_scale(src, size, scale):
+def _norm_scale_hw(h, w, size, scale):
+  """Per-axis (scale_y, scale_x) for a resize: None derives from the
+  target size; a scalar applies to both axes."""
   if scale is None:
-    h, w = src.shape[:2]
     return (size[1] / h, size[0] / w)
   if np.ndim(scale) == 0:
     return (float(scale), float(scale))
   return (float(scale[0]), float(scale[1]))
+
+
+def _norm_scale(src, size, scale):
+  h, w = src.shape[:2]
+  return _norm_scale_hw(h, w, size, scale)
 
 
 def resize_bilinear(src, size, scale=None, dtype=None):

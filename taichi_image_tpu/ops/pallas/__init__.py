@@ -13,3 +13,22 @@ def backend_enabled() -> bool:
   except Exception:
     return False
   return backend in ("tpu", "axon")
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def no_pallas():
+  """Temporarily force the XLA fallbacks (sets the off-switch env var
+  and restores its prior value — including absence — on exit)."""
+  import os
+  prior = os.environ.get("TAICHI_IMAGE_TPU_NO_PALLAS")
+  os.environ["TAICHI_IMAGE_TPU_NO_PALLAS"] = "1"
+  try:
+    yield
+  finally:
+    if prior is None:
+      os.environ.pop("TAICHI_IMAGE_TPU_NO_PALLAS", None)
+    else:
+      os.environ["TAICHI_IMAGE_TPU_NO_PALLAS"] = prior

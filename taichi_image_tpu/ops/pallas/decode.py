@@ -23,7 +23,6 @@ parity pipeline keeps the XLA decode.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp

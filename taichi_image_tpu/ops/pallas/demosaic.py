@@ -17,7 +17,6 @@ untileable shapes.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp

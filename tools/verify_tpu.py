@@ -130,16 +130,10 @@ def main():
   args = (jnp.zeros(9, jnp.float32), jnp.float32(0.9), 1.0, 1.0, 1.0, 0.0,
           "packed12", False, types.f16, BayerPattern.RGGB, None, None, 8,
           ImageTransform.none, "reinhard")
+  from taichi_image_tpu.ops.pallas import no_pallas
   m1, o1 = jax.jit(lambda r: fused_isp_step(r, *args))(raws)
-  _prior_np = os.environ.get("TAICHI_IMAGE_TPU_NO_PALLAS")
-  os.environ["TAICHI_IMAGE_TPU_NO_PALLAS"] = "1"
-  try:
+  with no_pallas():
     m2, o2 = jax.jit(lambda r: fused_isp_step(r, *args))(raws)
-  finally:
-    if _prior_np is None:
-      os.environ.pop("TAICHI_IMAGE_TPU_NO_PALLAS", None)
-    else:
-      os.environ["TAICHI_IMAGE_TPU_NO_PALLAS"] = _prior_np
   du8 = np.abs(np.asarray(o1).astype(int) - np.asarray(o2).astype(int))
   dm = np.abs(np.asarray(m1) - np.asarray(m2))
   record("fused_step_pallas_vs_xla_onchip",
@@ -157,16 +151,9 @@ def main():
   for ids in (False, True):
     a = np.asarray(jax.jit(functools.partial(
         pl_decode.decode12_phases_bf16, ids_format=ids))(raws_d))
-    _prior_np = os.environ.get("TAICHI_IMAGE_TPU_NO_PALLAS")
-    os.environ["TAICHI_IMAGE_TPU_NO_PALLAS"] = "1"
-    try:
+    with no_pallas():
       b = np.asarray(jax.jit(lambda r: load_raw_phases(
           r, "packed12", types.bf16, ids_format=ids))(raws_d))
-    finally:
-      if _prior_np is None:
-        os.environ.pop("TAICHI_IMAGE_TPU_NO_PALLAS", None)
-      else:
-        os.environ["TAICHI_IMAGE_TPU_NO_PALLAS"] = _prior_np
     ok = np.array_equal(a.view(np.uint16), b.view(np.uint16))
     record(f"decode12_pallas_vs_xla_onchip{'_ids' if ids else ''}", ok,
            f"bitwise={ok}")
@@ -181,16 +168,9 @@ def main():
   assert pl_rh.reinhard_bf16_available(12, 128, 256)
   o_pl = np.asarray(jax.jit(lambda x: reinhard_apply_ca(
       x, mtr, 1.0, 1.0, 1.0, 0.0, types.bf16))(x12b))
-  _prior_np = os.environ.get("TAICHI_IMAGE_TPU_NO_PALLAS")
-  os.environ["TAICHI_IMAGE_TPU_NO_PALLAS"] = "1"
-  try:
+  with no_pallas():
     o_xla = np.asarray(jax.jit(lambda x: reinhard_apply_ca(
         x, mtr, 1.0, 1.0, 1.0, 0.0, types.bf16))(x12b))
-  finally:
-    if _prior_np is None:
-      os.environ.pop("TAICHI_IMAGE_TPU_NO_PALLAS", None)
-    else:
-      os.environ["TAICHI_IMAGE_TPU_NO_PALLAS"] = _prior_np
   # The kernel's p/max are bitwise-equal to XLA's (probed); residual
   # <=1-count diffs come from XLA's --xla_allow_excess_precision
   # skipping the bf16 round-trip before the gamma stage in the fused
