@@ -46,7 +46,7 @@ CPU_BASELINE_FPS = 0.749
 N_CAMERAS = 6
 H, W = 2160, 3840
 K = 10        # chained steps per jit call
-REPS = 3      # timed calls
+REPS = 5      # timed calls (headline = MEDIAN; best reported as extra)
 
 
 def main():
@@ -92,20 +92,27 @@ def main():
   if last_err is not None:
     raise last_err
 
-  best = None
+  # Headline is the MEDIAN of REPS timed calls — the axon tunnel has
+  # ±5-8% run-to-run variance and quoting the best run overstates what a
+  # user sees (round-2 VERDICT "what's weak" #1). Best is kept as a
+  # secondary field.
+  times = []
   for _ in range(REPS):
     t0 = time.perf_counter()
     m, chk = steps(m0, raws)
     _ = np.asarray(chk)
-    el = time.perf_counter() - t0
-    best = el if best is None else min(best, el)
+    times.append(time.perf_counter() - t0)
+  median = sorted(times)[len(times) // 2]
+  best = min(times)
 
-  fps = K * N_CAMERAS / best
+  fps = K * N_CAMERAS / median
   print(json.dumps({
       "metric": "4K RGGB frames/sec/chip, full ISP (unpack->demosaic->tonemap, bf16)",
       "value": round(fps, 2),
       "unit": "frames/s",
       "vs_baseline": round(fps / CPU_BASELINE_FPS, 2),
+      "best": round(K * N_CAMERAS / best, 2),
+      "reps": REPS,
   }))
 
 

@@ -32,14 +32,28 @@ from taichi_image_tpu.ops import bayer
 from taichi_image_tpu.ops.bayer import BayerPattern
 
 
+def _perturb(x, i):
+  """Bitwise-distinct input for iteration ``i``: integer inputs XOR the
+  iteration index; float inputs XOR it into the low mantissa bits via a
+  same-width bitcast. An additive ``i * 1e-6`` is NOT enough — for f16
+  values >= 1/16 it is below half an ulp, rounds away entirely, and lets
+  XLA CSE every iteration (round-2 ADVICE.md). XOR of i < 16 touches only
+  mantissa LSBs: never sign/exponent, so no NaN/inf, and each iteration's
+  input differs bitwise."""
+  if jnp.issubdtype(x.dtype, jnp.integer):
+    return x ^ jnp.asarray(i, x.dtype)
+  ibits = jnp.dtype(f"uint{x.dtype.itemsize * 8}")
+  bits = jax.lax.bitcast_convert_type(x, ibits)
+  return jax.lax.bitcast_convert_type(bits ^ jnp.asarray(i, ibits),
+                                      x.dtype)
+
+
 def _chain(fn, x, k, reps, cast=jnp.float32):
   @jax.jit
   def steps(x):
     acc = jnp.float32(0)
     for i in range(k):
-      xi = x ^ jnp.uint8(i) if x.dtype == jnp.uint8 else \
-          x + jnp.asarray(i, x.dtype) * 1e-6
-      acc = acc + jnp.sum(fn(xi).astype(cast))
+      acc = acc + jnp.sum(fn(_perturb(x, i)).astype(cast))
     return acc
   _ = np.asarray(steps(x))
   best = None
@@ -99,14 +113,16 @@ def race_decode(h, w, k, reps):
 
 
 def race_resize_torch(h, w, k, reps):
+  # both sides run float32 (round-2 ADVICE.md: the old f16-vs-f32 race
+  # was doubly non-comparable); the device difference is still labelled
   from taichi_image_tpu.ops import interpolate
   rng = np.random.default_rng(0)
-  img = jax.device_put(rng.random((h, w, 3)).astype(np.float16))
+  img = jax.device_put(rng.random((h, w, 3)).astype(np.float32))
 
   def ours(x):
     y = interpolate._resize_bilinear(
         x, (int(w * 0.8), int(h * 0.8)), (0.8, 0.8),
-        np.dtype(np.float16), np.dtype(np.float16))
+        np.dtype(np.float32), np.dtype(np.float32))
     return interpolate.transform(y, interpolate.ImageTransform.rotate_90)
 
   its = _chain(ours, img, k, reps)
@@ -141,7 +157,8 @@ def race_resize_torch(h, w, k, reps):
     el = time.perf_counter() - t0
     best = el if best is None else min(best, el)
   print(f"resize+rot90[torch/{t.device.type}]: {k / best:8.1f} it/s "
-        "(different device — cross-impl sanity, not apples-to-apples)",
+        "(same dtype f32, DIFFERENT device — cross-impl sanity, "
+        "not apples-to-apples)",
         flush=True)
 
 

@@ -147,8 +147,10 @@ def make_spatial_isp_step(mesh: Mesh, *, fmt: str = "packed12",
   n_shards = np.prod([mesh.shape[a] for a in
                       ([axis_name] if isinstance(axis_name, str)
                        else axis_name)])
-  assert (h // n_shards) % 8 == 0, (
-      "rows per shard must be a multiple of 8")
+  if (h // n_shards) % 8 != 0:
+    raise ValueError(
+        f"rows per shard must be a multiple of 8 (Bayer parity + "
+        f"metering-grid alignment); got H={h} over {n_shards} shards")
   hs = -(-h // stride)
   ws = -(-w // stride)
   n_total = n_cameras * hs * ws
@@ -196,8 +198,10 @@ def make_grid_isp_step(mesh: Mesh, *, fmt: str = "packed12",
   """
   h, w = image_hw
   n_row_shards = mesh.shape[row_axis]
-  assert (h // n_row_shards) % 8 == 0, (
-      "rows per shard must be a multiple of 8")
+  if (h // n_row_shards) % 8 != 0:
+    raise ValueError(
+        f"rows per shard must be a multiple of 8 (Bayer parity + "
+        f"metering-grid alignment); got H={h} over {n_row_shards} shards")
   hs = -(-h // stride)
   ws = -(-w // stride)
   n_total = n_cameras * hs * ws

@@ -88,8 +88,9 @@ def test_spatial_isp_step_matches_unsharded(n_dev):
 
 
 def test_spatial_alignment_asserted():
+  # misuse raises ValueError (not bare assert — survives python -O)
   mesh = _mesh(8)
-  with pytest.raises(AssertionError):
+  with pytest.raises(ValueError, match="multiple of 8"):
     spatial.make_spatial_isp_step(
         mesh, work_dtype=types.f32, pattern=bayer.BayerPattern.RGGB,
         n_cameras=1, image_hw=(60, 96))  # 60/8 not multiple of 8
