@@ -143,13 +143,20 @@ def bf16_tiling(hh: int, wh: int, nc: int = 12):
   return None
 
 
-def _bf16_kernel_dma(tr, tw, ni, nj, nt, ng, hbm_ref, s_ref, p_ref, mx_ref,
-                     scratch, sems):
+def _bf16_kernel_dma(tr, tw, ni, nj, nt, ng, hbm_ref, s_ref,
+                     p_ref, mx_ref, scratch, sems):
   """Manual double-buffered DMA Reinhard map on bf16 I/O: reads (1, 12,
   tr, tw) bf16 tiles of x12, converts to f32 in-VMEM, writes the bf16
   p (pre-gamma map) plus per-tile f32 max partials. Same math as
   :func:`_kernel`; bf16 halves HBM traffic vs the f32 container and
-  skips the f16-bit emulation the packed variant needs."""
+  skips the f16-bit emulation the packed variant needs.
+
+  Gamma stays OUT of this kernel deliberately: the kernel is VPU-bound
+  (one exp2+log2 per pixel already), so an in-kernel q = p^(1/gamma)
+  (3 more transcendentals per pixel) measured the same or slower than
+  the XLA finish once that finish uses exp2(log2(x)*c) instead of
+  jnp.power — 4.27 vs 4.23 ms tail at 6x4K (probed round 3; the
+  jnp.power finish was the +1.35 ms outlier at 5.50)."""
   t = pl.program_id(0)
 
   def src(tt):
@@ -189,9 +196,9 @@ def _bf16_kernel_dma(tr, tw, ni, nj, nt, ng, hbm_ref, s_ref, p_ref, mx_ref,
     for c, scaled in ((0, r), (1, g), (2, b)):
       p = scaled * (1.0 / (adapt + scaled))
       p = jnp.where(jnp.isnan(p), 0.0, p)
-      p_ref[0, 3 * k + c] = p.astype(jnp.bfloat16)
       tmax = jnp.max(p)
       mx = tmax if mx is None else jnp.maximum(mx, tmax)
+      p_ref[0, 3 * k + c] = p.astype(jnp.bfloat16)
   mx_ref[...] = jnp.broadcast_to(mx, (1, 8, 128))
 
 

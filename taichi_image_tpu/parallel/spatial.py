@@ -24,14 +24,17 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from taichi_image_tpu import types
-from taichi_image_tpu.models.camera_isp import (linear_apply_ca,
+from taichi_image_tpu.models.camera_isp import (_plan_scales,
+                                                _resize_from_phases,
+                                                _transform_planar,
+                                                linear_apply_ca,
                                                 metering_update_ca,
                                                 reinhard_apply_ca)
 from taichi_image_tpu.ops import bayer as bayer_ops
 from taichi_image_tpu.ops.bayer import (_demosaic_tables,
                                         edge_renorm_factor,
                                         phases_to_planar)
-from taichi_image_tpu.ops.interpolate import ImageTransform
+from taichi_image_tpu.ops.interpolate import ImageTransform, _axis_samples
 from taichi_image_tpu.models.camera_isp import load_raw_phases
 
 ROW_AXIS = "rows"
@@ -128,20 +131,94 @@ def demosaic_phases_spatial(phases, mesh: Mesh, pattern, cc=None,
   return jax.jit(f)(phases)
 
 
+def _spatial_resize_plan(h, w, n_shards, resize_plan, stride):
+  """Validate + precompute shard-uniform resize taps for row sharding.
+
+  Every shard runs the SAME program, so shard i must be able to reuse
+  shard 0's tap table shifted by i * h_in_local — true exactly when the
+  f32 sample positions are shift-invariant across shard boundaries
+  (holds for the production scales: x0.5, x0.25, integer upscales...).
+  Checked explicitly against the global tables; a ValueError names the
+  incompatibility otherwise. Returns (size, (sy, sx), h_out_local,
+  halo_lo, halo_hi) with halos in PHASE rows."""
+  size, scale = resize_plan
+  w_out, h_out = size
+  sy, sx = _plan_scales(h, w, size, scale)
+  if h_out % n_shards:
+    raise ValueError(
+        f"resized height {h_out} must divide over {n_shards} row shards")
+  hol = h_out // n_shards
+  if hol % stride:
+    raise ValueError(
+        f"resized rows per shard ({hol}) must be a multiple of the "
+        f"metering stride ({stride}) so the sample grid stays global")
+  hil = h // n_shards
+  r_lo, r_hi, r_f = _axis_samples(h_out, h, sy)
+  for i in range(1, n_shards):
+    o = slice(i * hol, (i + 1) * hol)
+    if (not np.array_equal(r_lo[o], r_lo[:hol] + i * hil)
+        or not np.array_equal(r_hi[o], r_hi[:hol] + i * hil)
+        or not np.array_equal(r_f[o], r_f[:hol])):
+      raise ValueError(
+          f"resize scale {sy} is not shift-invariant across {n_shards} "
+          f"row shards (f32 tap drift) — use process_large or an "
+          f"unsharded step for this scale")
+  # shard-local taps reference full-res rows [r_lo[0], r_hi[hol-1]] of
+  # the local range [0, hil): halo rows needed beyond it (phase rows)
+  halo_lo = max(0, -(-max(0, 0 - int(r_lo[0])) // 2))
+  halo_hi = max(0, -(-max(0, int(r_hi[hol - 1]) - (hil - 1)) // 2))
+  return size, (sy, sx), hol, halo_lo, halo_hi
+
+
+def _exchange_extra_halos(x12, axis_name, halo_lo, halo_hi):
+  """Exchange ``halo_lo`` top / ``halo_hi`` bottom PHASE rows of the
+  (N, 12, hh_l, wh) demosaiced shard with mesh neighbors (zeros past
+  the global edges — taps are clamped inside the image so those rows
+  are never read with nonzero weight)."""
+  idx = jax.lax.axis_index(axis_name)
+  n_shards = jax.lax.axis_size(axis_name)
+  parts = []
+  if halo_lo:
+    bot = x12[:, :, -halo_lo:, :]
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    top_halo = jax.lax.ppermute(bot, axis_name, fwd)
+    top_halo = jnp.where(idx == 0, jnp.zeros_like(top_halo), top_halo)
+    parts.append(top_halo)
+  parts.append(x12)
+  if halo_hi:
+    top = x12[:, :, :halo_hi, :]
+    bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    bot_halo = jax.lax.ppermute(top, axis_name, bwd)
+    bot_halo = jnp.where(idx == n_shards - 1, jnp.zeros_like(bot_halo),
+                         bot_halo)
+    parts.append(bot_halo)
+  return jnp.concatenate(parts, axis=2) if len(parts) > 1 else x12
+
+
 def make_spatial_isp_step(mesh: Mesh, *, fmt: str = "packed12",
                           ids_format: bool = False, work_dtype,
                           pattern, cc=None, stride: int = 8,
                           tonemap: str = "reinhard",
                           n_cameras: int, image_hw,
+                          resize_plan=None,
+                          transform: ImageTransform = ImageTransform.none,
                           axis_name: str = ROW_AXIS):
   """Whole-rig fused step with each frame's ROWS sharded across chips.
 
   step(raws, prev, t, gamma, intensity, light_adapt, color_adapt)
-    -> (metrics, planar u8 (N, 3, H, W) row-sharded)
+    -> (metrics, planar u8 (N, 3, H', W') row-sharded)
 
   ``raws`` is (N, H, W_raw) with H sharded. Requires H/n_shards % 8 == 0
-  (Bayer parity + metering-grid alignment). Resize and output transforms
-  are not supported in spatial mode (reshard first).
+  (Bayer parity + metering-grid alignment).
+
+  ``resize_plan=(size, scale)`` composes the per-frame resize inside the
+  sharded step (round-3): shard-uniform taps are validated at build
+  (see _spatial_resize_plan) and tap rows crossing shard boundaries ride
+  a ppermute halo exchange of the demosaiced phases.
+
+  ``transform`` != none is applied OUTSIDE the shard_map on the sharded
+  output — GSPMD repartitions the permuted array (collectives over ICI)
+  rather than hand-reversing shard order.
   """
   h, w = image_hw
   n_shards = np.prod([mesh.shape[a] for a in
@@ -151,50 +228,116 @@ def make_spatial_isp_step(mesh: Mesh, *, fmt: str = "packed12",
     raise ValueError(
         f"rows per shard must be a multiple of 8 (Bayer parity + "
         f"metering-grid alignment); got H={h} over {n_shards} shards")
-  hs = -(-h // stride)
-  ws = -(-w // stride)
-  n_total = n_cameras * hs * ws
+  if resize_plan is not None:
+    size, syx, hol, halo_lo, halo_hi = _spatial_resize_plan(
+        h, w, int(n_shards), resize_plan, stride)
+    n_total = n_cameras * -(-size[1] // stride) * -(-size[0] // stride)
+  else:
+    hs = -(-h // stride)
+    ws = -(-w // stride)
+    n_total = n_cameras * hs * ws
 
-  def local_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt):
-    phases = load_raw_phases(raws, fmt, work_dtype, ids_format)
-    x12 = _demosaic_local(phases.astype(jnp.float32), pattern, cc,
-                          "mhc", axis_name)
-    x12 = x12.astype(types.canonical_dtype(work_dtype))
-    n, _, hh_l, wh = x12.shape
-    strided = bayer_ops.subsample_hw(x12[:, 0:3], stride // 2, stride // 2)
-    metrics = metering_update_ca(strided, prev, t, axis_name=axis_name,
-                                 n_total=n_total)
-    if tonemap == "reinhard":
-      out12 = reinhard_apply_ca(x12.reshape(n, 4, 3, hh_l, wh), metrics,
-                                gamma, intensity, light_adapt, color_adapt,
-                                work_dtype, axis_name=axis_name)
-    else:
-      out12 = linear_apply_ca(x12.reshape(n, 4, 3, hh_l, wh), metrics,
-                              gamma)
-    out = phases_to_planar(out12.reshape(n, 12, hh_l, wh))
-    return metrics, out
+  local_step = _build_local_step(
+      fmt, ids_format, work_dtype, pattern, cc, stride, tonemap, n_total,
+      None if resize_plan is None else (size, syx, hol, halo_lo, halo_hi,
+                                        h),
+      meter_axes=axis_name, row_axis=axis_name)
 
   sharded = jax.shard_map(
       local_step, mesh=mesh,
       in_specs=(P(None, axis_name), P(), P(), P(), P(), P(), P()),
       out_specs=(P(), P(None, None, axis_name, None)),
       check_vma=False)
-  return jax.jit(sharded, donate_argnums=(1,))
+  return _with_transform(jax.jit(sharded, donate_argnums=(1,)),
+                         transform)
+
+
+def _build_local_step(fmt, ids_format, work_dtype, pattern, cc, stride,
+                      tonemap, n_total, resize_cfg, meter_axes,
+                      row_axis):
+  """Shared shard-local step body for the 1-D row and 2-D cam x rows
+  factories. ``resize_cfg`` = (size, (sy, sx), h_out_local, halo_lo,
+  halo_hi, full_h) or None."""
+
+  def local_step(raws, prev, t, gamma, intensity, light_adapt,
+                 color_adapt):
+    phases = load_raw_phases(raws, fmt, work_dtype, ids_format)
+    x12 = _demosaic_local(phases.astype(jnp.float32), pattern, cc,
+                          "mhc", row_axis)
+    x12 = x12.astype(types.canonical_dtype(work_dtype))
+    n, _, hh_l, wh = x12.shape
+    if resize_cfg is not None:
+      size, syx, hol, halo_lo, halo_hi, full_h = resize_cfg
+      x12e = _exchange_extra_halos(x12, row_axis, halo_lo, halo_hi)
+      # shard-0 tap table, valid for every shard (shift-invariance
+      # checked at build); halo_lo shifts the local phase-row origin
+      rgb = _resize_from_phases(x12e, size, syx, work_dtype,
+                                row_band=(0, hol, -halo_lo, full_h))
+      strided = bayer_ops.subsample_hw(rgb, stride, stride)
+      metrics = metering_update_ca(strided, prev, t,
+                                   axis_name=meter_axes,
+                                   n_total=n_total)
+      if tonemap == "reinhard":
+        out = reinhard_apply_ca(rgb, metrics, gamma, intensity,
+                                light_adapt, color_adapt, work_dtype,
+                                axis_name=row_axis)
+      else:
+        out = linear_apply_ca(rgb, metrics, gamma)
+      return metrics, out
+    strided = bayer_ops.subsample_hw(x12[:, 0:3], stride // 2,
+                                     stride // 2)
+    metrics = metering_update_ca(strided, prev, t, axis_name=meter_axes,
+                                 n_total=n_total)
+    if tonemap == "reinhard":
+      out12 = reinhard_apply_ca(x12.reshape(n, 4, 3, hh_l, wh), metrics,
+                                gamma, intensity, light_adapt,
+                                color_adapt, work_dtype,
+                                axis_name=row_axis)
+    else:
+      out12 = linear_apply_ca(x12.reshape(n, 4, 3, hh_l, wh), metrics,
+                              gamma)
+    out = phases_to_planar(out12.reshape(n, 12, hh_l, wh))
+    return metrics, out
+
+  return local_step
+
+
+def _with_transform(jitted, transform: ImageTransform):
+  """Wrap a sharded step with the output transform applied OUTSIDE the
+  shard_map: GSPMD repartitions the permuted array (collectives over
+  ICI on hardware) instead of hand-reversing shard order."""
+  if transform == ImageTransform.none:
+    return jitted
+
+  transform_jit = jax.jit(partial(_transform_planar, t=transform))
+
+  def step_with_transform(raws, prev, t, gamma, intensity, light_adapt,
+                          color_adapt):
+    metrics, out = jitted(raws, prev, t, gamma, intensity, light_adapt,
+                          color_adapt)
+    return metrics, transform_jit(out)
+
+  return step_with_transform
 
 def make_grid_isp_step(mesh: Mesh, *, fmt: str = "packed12",
                        ids_format: bool = False, work_dtype,
                        pattern, cc=None, stride: int = 8,
                        tonemap: str = "reinhard",
                        n_cameras: int, image_hw,
+                       resize_plan=None,
+                       transform: ImageTransform = ImageTransform.none,
                        cam_axis: str = "cam",
                        row_axis: str = ROW_AXIS):
   """Whole-rig fused step over a 2-D mesh: cameras on one axis (data
   parallel) x image rows on the other (spatial parallel with halo
   exchange). The metering collectives reduce over BOTH axes; the
   Reinhard per-image max reduces over the row axis only.
+  ``resize_plan``/``transform`` compose as in
+  :func:`make_spatial_isp_step`.
 
   step(raws, prev, t, gamma, intensity, light_adapt, color_adapt)
-    -> (metrics, planar u8 (N, 3, H, W) sharded (cam=N axis, rows=H axis))
+    -> (metrics, planar u8 (N, 3, H', W') sharded (cam=N axis,
+       rows=H axis))
   """
   h, w = image_hw
   n_row_shards = mesh.shape[row_axis]
@@ -202,33 +345,23 @@ def make_grid_isp_step(mesh: Mesh, *, fmt: str = "packed12",
     raise ValueError(
         f"rows per shard must be a multiple of 8 (Bayer parity + "
         f"metering-grid alignment); got H={h} over {n_row_shards} shards")
-  hs = -(-h // stride)
-  ws = -(-w // stride)
-  n_total = n_cameras * hs * ws
-  both = (cam_axis, row_axis)
+  if resize_plan is not None:
+    size, syx, hol, halo_lo, halo_hi = _spatial_resize_plan(
+        h, w, int(n_row_shards), resize_plan, stride)
+    n_total = n_cameras * -(-size[1] // stride) * -(-size[0] // stride)
+    resize_cfg = (size, syx, hol, halo_lo, halo_hi, h)
+  else:
+    n_total = n_cameras * -(-h // stride) * -(-w // stride)
+    resize_cfg = None
 
-  def local_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt):
-    phases = load_raw_phases(raws, fmt, work_dtype, ids_format)
-    x12 = _demosaic_local(phases.astype(jnp.float32), pattern, cc,
-                          "mhc", row_axis)
-    x12 = x12.astype(types.canonical_dtype(work_dtype))
-    n, _, hh_l, wh = x12.shape
-    strided = bayer_ops.subsample_hw(x12[:, 0:3], stride // 2, stride // 2)
-    metrics = metering_update_ca(strided, prev, t, axis_name=both,
-                                 n_total=n_total)
-    if tonemap == "reinhard":
-      out12 = reinhard_apply_ca(x12.reshape(n, 4, 3, hh_l, wh), metrics,
-                                gamma, intensity, light_adapt, color_adapt,
-                                work_dtype, axis_name=row_axis)
-    else:
-      out12 = linear_apply_ca(x12.reshape(n, 4, 3, hh_l, wh), metrics,
-                              gamma)
-    out = phases_to_planar(out12.reshape(n, 12, hh_l, wh))
-    return metrics, out
+  local_step = _build_local_step(
+      fmt, ids_format, work_dtype, pattern, cc, stride, tonemap, n_total,
+      resize_cfg, meter_axes=(cam_axis, row_axis), row_axis=row_axis)
 
   sharded = jax.shard_map(
       local_step, mesh=mesh,
       in_specs=(P(cam_axis, row_axis), P(), P(), P(), P(), P(), P()),
       out_specs=(P(), P(cam_axis, None, row_axis, None)),
       check_vma=False)
-  return jax.jit(sharded, donate_argnums=(1,))
+  return _with_transform(jax.jit(sharded, donate_argnums=(1,)),
+                         transform)

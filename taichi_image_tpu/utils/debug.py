@@ -41,7 +41,7 @@ def validate_raw(raws, fmt: str, batch: bool = True) -> None:
   garbage output or an opaque reshape failure.
 
   ``raws``: (N, H, W_bytes) if batch else (H, W_bytes); ``fmt`` as in
-  :func:`taichi_image_tpu.models.camera_isp.load_raw`.
+  :func:`taichi_image_tpu.models.camera_isp.load_raw_phases`.
   """
   ndim = 3 if batch else 2
   if raws.ndim != ndim:

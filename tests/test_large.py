@@ -87,14 +87,63 @@ def test_banded_yuv420():
   _assert_band_equal(np.asarray(guv), np.asarray(wuv))
 
 
-def test_banded_rejects_resize_and_transform():
+@pytest.mark.parametrize("resize_kw", [dict(scale=0.5),
+                                       dict(resize_width=60)])
+def test_banded_composes_with_resize(resize_kw):
+  """Banded + resize (round-3): bands partition the OUTPUT rows and
+  demosaic+resize exactly the tapped input rows — same semantics as the
+  unbanded fused step's resize path."""
+  raws = _raws(h=96, w=96)
+  a = Camera32(BayerPattern.RGGB, moving_alpha=0.2, **resize_kw)
+  b = Camera32(BayerPattern.RGGB, moving_alpha=0.2, **resize_kw)
+  for seed in (0, 1):  # exercise the EMA chain on the resized metering
+    raws = _raws(h=96, w=96, seed=seed)
+    want = np.asarray(a.process(raws, gamma=0.8, intensity=0.9))
+    got = np.asarray(b.process_large(raws, n_bands=3, gamma=0.8,
+                                     intensity=0.9))
+    assert got.shape == want.shape
+    _assert_band_equal(got, want)
+    np.testing.assert_allclose(np.asarray(b.metrics),
+                               np.asarray(a.metrics), rtol=1e-6,
+                               atol=1e-7)
+
+
+@pytest.mark.parametrize("transform_name", ["rotate_90", "flip_vert",
+                                            "transverse"])
+def test_banded_composes_with_transform(transform_name):
   from taichi_image_tpu.ops.interpolate import ImageTransform
+  t = ImageTransform[transform_name]
   raws = _raws()
-  with pytest.raises(ValueError, match="resize"):
-    Camera32(BayerPattern.RGGB, resize_width=48).process_large(raws)
-  with pytest.raises(ValueError, match="transform"):
-    Camera32(BayerPattern.RGGB,
-             transform=ImageTransform.rotate_90).process_large(raws)
+  a = Camera32(BayerPattern.RGGB, transform=t)
+  b = Camera32(BayerPattern.RGGB, transform=t)
+  want = np.asarray(a.process(raws, gamma=0.8))
+  got = np.asarray(b.process_large(raws, n_bands=2, gamma=0.8))
+  assert got.shape == want.shape
+  _assert_band_equal(got, want)
+
+
+def test_banded_resize_and_transform_and_yuv():
+  """The full production composition: 96-rows capture -> downscale ->
+  rot90 -> I420, banded vs unbanded."""
+  from taichi_image_tpu.ops.interpolate import ImageTransform
+  raws = _raws(h=96, w=96)
+  kw = dict(scale=0.5, transform=ImageTransform.rotate_90)
+  a = Camera32(BayerPattern.RGGB, **kw)
+  b = Camera32(BayerPattern.RGGB, **kw)
+  wy, wuv = a.process(raws, color_format="yuv420")
+  gy, guv = b.process_large(raws, n_bands=2, color_format="yuv420")
+  _assert_band_equal(np.asarray(gy), np.asarray(wy))
+  _assert_band_equal(np.asarray(guv), np.asarray(wuv))
+
+
+def test_banded_resize_linear():
+  raws = _raws(h=96, w=96)
+  a = Camera32(BayerPattern.RGGB, scale=0.5)
+  b = Camera32(BayerPattern.RGGB, scale=0.5)
+  want = np.asarray(a.process(raws, tonemap="linear", gamma=0.7))
+  got = np.asarray(b.process_large(raws, n_bands=2, tonemap="linear",
+                                   gamma=0.7))
+  _assert_band_equal(got, want)
 
 
 def test_banded_hwc_layout():

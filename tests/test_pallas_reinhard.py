@@ -68,6 +68,33 @@ def test_bf16_kernel_traced_scalars(rng):
                              rtol=1e-2, atol=1e-3)
 
 
+@pytest.mark.parametrize("gamma", [0.9, 0.6, 2.2])
+def test_gamma_pow_matches_numpy_pow(gamma, rng):
+  """The exp2(log2(x)*c) gamma lowering (camera_isp._gamma_pow — the
+  generic jnp.power cost +1.35 ms/step at 6x4K on TPU, the pair +0.10)
+  agrees with numpy's pow to <=1 u8 count after quantization, including
+  the x == 0 edge (-inf*c -> exp2 -> 0 == pow(0, c))."""
+  x = np.concatenate([[0.0, 1.0, 1e-6], rng.random(4093)]).astype(
+      np.float32)
+  want = np.clip(255.0 * np.power(x, 1.0 / gamma), 0, 255).astype(
+      np.uint8)
+  got_f = np.asarray(ci._gamma_pow(jnp.asarray(x), 1.0 / gamma))
+  got = np.clip(255.0 * got_f, 0, 255).astype(np.uint8)
+  assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+  assert got_f[0] == 0.0  # pow(0, c>0) == 0
+
+
+def test_gamma_pow_negative_and_nan():
+  """Negative inputs (dark pixels below the EMA bounds after the p/max
+  normalization) and NaN behave like pow: NaN either way, which the
+  caller's clip+u8 cast then zeroes identically on both lowerings."""
+  x = jnp.asarray([-0.5, np.nan], jnp.float32)
+  got = np.asarray(ci._gamma_pow(x, 1.0 / 0.9))
+  want = np.power(np.asarray([-0.5, np.nan], np.float32),
+                  np.float32(1 / 0.9))
+  assert np.isnan(got).all() and np.isnan(want).all()
+
+
 def test_bf16_tiling_contract():
   assert plrh.bf16_tiling(1080, 1920, 12) is not None
   assert plrh.bf16_tiling(1080, 1920, 3) is not None
@@ -101,6 +128,32 @@ def test_apply_ca_bf16_route_integrated(monkeypatch, rng):
   # same math and rounding points; pow ulps may flip a count
   diff = np.abs(out_xla.astype(np.int16) - out_pl.astype(np.int16))
   assert diff.max() <= 1, diff.max()
+
+
+def test_apply_ca_bf16_route_integrated_gamma(monkeypatch, rng):
+  """reinhard_apply_ca with static gamma != 1 through the kernel route
+  (exp2/log2 finish on the kernel p) matches the XLA path. The kernel's
+  p can differ from XLA's by one bf16 ulp (jit fusion/FMA noise) and
+  1/gamma amplifies it, so the bound is 2 counts for gamma < 0.75."""
+  import functools
+  x = jnp.asarray(rng.random((2, 4, 3, 24, 256)) * 0.9 + 0.05,
+                  jnp.bfloat16)
+  monkeypatch.setattr(plrh, "reinhard_bf16_available",
+                      lambda nc, hh, wh: True)
+  monkeypatch.setattr(plrh, "reinhard_map_bf16_dma",
+                      functools.partial(plrh.reinhard_map_bf16_dma,
+                                        interpret=True))
+  for gamma, bound in ((0.9, 1), (0.6, 2)):
+    out_pl = np.asarray(jax.jit(lambda x, g=gamma: ci.reinhard_apply_ca(
+        x, M, g, 1.0, 1.0, 0.0, types.bf16))(x))
+    with monkeypatch.context() as mp:
+      mp.setattr(plrh, "reinhard_bf16_available",
+                 lambda nc, hh, wh: False)
+      out_xla = np.asarray(jax.jit(
+          lambda x, g=gamma: ci.reinhard_apply_ca(
+              x, M, g, 1.0, 1.0, 0.0, types.bf16))(x))
+    diff = np.abs(out_xla.astype(np.int16) - out_pl.astype(np.int16))
+    assert diff.max() <= bound, (gamma, diff.max())
 
 
 def test_fused_step_bf16_kernel_route_integrated(monkeypatch, rng):

@@ -158,3 +158,110 @@ def test_demosaic_local_stencil_matches_conv(rng):
                                      interpret=True)
   got = np.asarray(num16[:, :, 1:-1, :])
   np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_spatial_step_with_resize(n_dev):
+  """Row-sharded step + in-step resize (round-3): shard-uniform taps +
+  halo exchange equal the unsharded fused resize path."""
+  h, w = 64, 96
+  raws = []
+  for s in range(2):
+    img = make_test_rgb(h, w, seed=s)
+    cfa = rgb_to_bayer_oracle(img, "RGGB")
+    raws.append(np.asarray(packed.encode12(cfa, scaled=True)))
+  raws = np.stack(raws)
+
+  ref = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.2, scale=0.5)
+  ref_out = ref.process(raws, gamma=0.8, intensity=2.0)
+
+  mesh = _mesh(n_dev)
+  step = spatial.make_spatial_isp_step(
+      mesh, work_dtype=types.f32, pattern=bayer.BayerPattern.RGGB,
+      n_cameras=2, image_hw=(h, w), resize_plan=((48, 32), 0.5))
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  raws_s = jax.device_put(jnp.asarray(raws),
+                          NamedSharding(mesh, P(None, spatial.ROW_AXIS)))
+  prev = jax.device_put(jnp.zeros(9, jnp.float32),
+                        NamedSharding(mesh, P()))
+  metrics, out = step(raws_s, prev, jnp.float32(0.0), jnp.float32(0.8),
+                      jnp.float32(2.0), jnp.float32(1.0),
+                      jnp.float32(0.0))
+
+  assert np.asarray(out).shape == (2, 3, 32, 48)
+  np.testing.assert_allclose(np.asarray(metrics), np.asarray(ref.metrics),
+                             atol=1e-5)
+  diff = np.abs(np.asarray(out).astype(int) -
+                np.asarray(ref_out).astype(int))
+  assert diff.max() <= 1
+  assert (diff > 0).mean() < 0.01
+
+
+def test_spatial_step_with_transform():
+  """Output transform applied outside the shard_map (GSPMD reshards)."""
+  from taichi_image_tpu.ops.interpolate import ImageTransform
+  h, w = 64, 96
+  img = make_test_rgb(h, w, seed=0)
+  cfa = rgb_to_bayer_oracle(img, "RGGB")
+  raws = np.stack([np.asarray(packed.encode12(cfa, scaled=True))] * 2)
+
+  ref = Camera32(bayer.BayerPattern.RGGB,
+                 transform=ImageTransform.rotate_90)
+  ref_out = ref.process(raws, gamma=0.8)
+
+  mesh = _mesh(4)
+  step = spatial.make_spatial_isp_step(
+      mesh, work_dtype=types.f32, pattern=bayer.BayerPattern.RGGB,
+      n_cameras=2, image_hw=(h, w),
+      transform=ImageTransform.rotate_90)
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  raws_s = jax.device_put(jnp.asarray(raws),
+                          NamedSharding(mesh, P(None, spatial.ROW_AXIS)))
+  prev = jax.device_put(jnp.zeros(9, jnp.float32),
+                        NamedSharding(mesh, P()))
+  metrics, out = step(raws_s, prev, jnp.float32(0.0), jnp.float32(0.8),
+                      jnp.float32(1.0), jnp.float32(1.0),
+                      jnp.float32(0.0))
+  assert np.asarray(out).shape == np.asarray(ref_out).shape
+  diff = np.abs(np.asarray(out).astype(int) -
+                np.asarray(ref_out).astype(int))
+  assert diff.max() <= 1
+
+
+def test_grid_step_with_resize():
+  h, w = 64, 96
+  raws = []
+  for s in range(4):
+    img = make_test_rgb(h, w, seed=s)
+    cfa = rgb_to_bayer_oracle(img, "RGGB")
+    raws.append(np.asarray(packed.encode12(cfa, scaled=True)))
+  raws = np.stack(raws)
+
+  ref = Camera32(bayer.BayerPattern.RGGB, scale=0.5)
+  ref_out = ref.process(raws, gamma=0.8)
+
+  devs = np.array(jax.devices()[:8]).reshape(2, 4)
+  mesh = Mesh(devs, ("cam", spatial.ROW_AXIS))
+  step = spatial.make_grid_isp_step(
+      mesh, work_dtype=types.f32, pattern=bayer.BayerPattern.RGGB,
+      n_cameras=4, image_hw=(h, w), resize_plan=((48, 32), 0.5))
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  raws_s = jax.device_put(jnp.asarray(raws),
+                          NamedSharding(mesh, P("cam", spatial.ROW_AXIS)))
+  prev = jax.device_put(jnp.zeros(9, jnp.float32), NamedSharding(mesh, P()))
+  metrics, out = step(raws_s, prev, jnp.float32(0.0), jnp.float32(0.8),
+                      jnp.float32(1.0), jnp.float32(1.0), jnp.float32(0.0))
+  np.testing.assert_allclose(np.asarray(metrics), np.asarray(ref.metrics),
+                             atol=1e-5)
+  diff = np.abs(np.asarray(out).astype(int) -
+                np.asarray(ref_out).astype(int))
+  assert diff.max() <= 1
+
+
+def test_spatial_resize_misalignment_raises():
+  mesh = _mesh(4)
+  # resized height 30 does not divide over 4 shards
+  with pytest.raises(ValueError, match="divide"):
+    spatial.make_spatial_isp_step(
+        mesh, work_dtype=types.f32, pattern=bayer.BayerPattern.RGGB,
+        n_cameras=1, image_hw=(96, 128), resize_plan=((40, 30), 0.3125))

@@ -113,6 +113,15 @@ def s_full(raws):
   return jnp.sum(out, dtype=jnp.float32) + jnp.sum(m)
 
 
+def s_full_gamma09(raws):
+  m, out = fused_isp_step(
+      raws, jnp.zeros(9, jnp.float32), jnp.float32(0.9), 0.9,
+      3.0, 1.0, 0.0,
+      "packed12", False, WD, BayerPattern.RGGB, None, None, 8,
+      ImageTransform.none, "reinhard")
+  return jnp.sum(out, dtype=jnp.float32) + jnp.sum(m)
+
+
 def s_full_gamma(raws):
   m, out = fused_isp_step(
       raws, jnp.zeros(9, jnp.float32), jnp.float32(0.9), 0.6,
@@ -164,6 +173,7 @@ def main():
           ("+metering (kernel samples)", s_metering_kernel),
           ("FULL traced params, gamma .6", s_full_traced),
           ("FULL static, gamma=1", s_full),
+          ("FULL static, g=0.9 i=3 (CLI default)", s_full_gamma09),
           ("FULL static, gamma=0.6", s_full_gamma),
           ("FULL static g=1 + resize 0.5", s_full_resize),
           ("FULL static g=1 + rot90", s_full_transform),

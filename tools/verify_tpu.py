@@ -180,6 +180,46 @@ def main():
   record("reinhard_bf16_pallas_vs_xla_onchip", int(d.max()) <= 1,
          f"u8 max|diff|={int(d.max())} frac!=0={float((d != 0).mean()):.2e}")
 
+  # 7. exp2/log2 gamma finish (round-3: replaces the +1.35 ms jnp.power
+  #    lowering) vs numpy pow ON CHIP: <=1 u8 count incl. the 0 edge
+  from taichi_image_tpu.models.camera_isp import _gamma_pow
+  xs = np.concatenate([[0.0, 1.0, 1e-6],
+                       rng.random(8189)]).astype(np.float32)
+  for gam in (0.9, 0.6):
+    got_f = np.asarray(jax.jit(functools.partial(
+        _gamma_pow, inv_gamma=1.0 / gam))(jnp.asarray(xs)))
+    got = np.clip(255.0 * got_f, 0, 255).astype(np.uint8)
+    want = np.clip(255.0 * np.power(xs, 1.0 / gam), 0, 255).astype(
+        np.uint8)
+    d = np.abs(got.astype(int) - want.astype(int))
+    record(f"gamma_exp2_finish_{gam}_onchip",
+           int(d.max()) <= 1 and got_f[0] == 0.0,
+           f"u8 max|diff|={int(d.max())} zero_edge={got_f[0] == 0.0}")
+
+  # 8. bf16 banded-matmul resize kernel (round-3): bitwise at exact x0.5
+  #    taps; <=bf16-weight-quantization at general scales
+  from taichi_image_tpu.models.camera_isp import (_plan_scales,
+                                                  _resize_from_phases)
+  from taichi_image_tpu.ops.pallas import resize as pl_rs
+  x12r = jnp.asarray(rng.random((2, 12, 256, 512)), jnp.bfloat16)
+  for (size, label, exact) in (((512, 256), "x0.5", True),
+                               ((384, 200), "w384", False)):
+    sy, sx = _plan_scales(512, 1024, size, None)
+    assert pl_rs.resize_pallas_available(256, 512, size[1], size[0],
+                                         sy, sx)
+    a = np.asarray(jax.jit(functools.partial(
+        pl_rs.resize_x12_bf16, size=size, scale=(sy, sx)))(x12r),
+        np.float32)
+    b = np.asarray(_resize_from_phases(x12r, size, (sy, sx),
+                                       types.bf16), np.float32)
+    if exact:
+      ok = np.array_equal(a, b)
+      record(f"resize_{label}_onchip_bitwise", ok, f"bitwise={ok}")
+    else:
+      err = np.abs(a - b) / (np.abs(b) + 1e-3)
+      record(f"resize_{label}_onchip", float(err.max()) < 2.5e-2,
+             f"maxrel={float(err.max()):.3e}")
+
   out = os.path.join(os.path.dirname(__file__), "..", "VERIFY_TPU.json")
   with open(out, "w") as f:
     json.dump(RESULT, f, indent=1)
