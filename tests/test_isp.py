@@ -557,8 +557,10 @@ def test_fused_step_shape_fuzz():
       resize = ((rw, rh), None)
     tonemap = "linear" if rng.random() < 0.3 else "reinhard"
     ids = bool(rng.random() < 0.3)
-    cfmt = "yuv420" if (rng.random() < 0.25 and resize is None
-                        and t == ImageTransform.none) else "rgb"
+    # round-3: yuv420 composes with transforms in phase space, so the
+    # fuzz no longer excludes the combination (resize+yuv420 needs even
+    # output dims, which the fuzz resize does not guarantee)
+    cfmt = "yuv420" if (rng.random() < 0.25 and resize is None) else "rgb"
     raws = jnp.asarray(rng.integers(0, 256, size=(n, h, w * 3 // 2),
                                     dtype=np.uint8))
     m, out = jax.jit(lambda r, wd=wd, pat=pat, t=t, s=stride, rz=resize,
@@ -567,8 +569,13 @@ def test_fused_step_shape_fuzz():
         0.0, "packed12", ids, wd, pat, None, rz, s, t, tm,
         color_format=cf))(raws)
     if cfmt == "yuv420":
+      yh, yw = ((w, h) if t in (ImageTransform.rotate_90,
+                                ImageTransform.rotate_270,
+                                ImageTransform.transpose,
+                                ImageTransform.transverse) else (h, w))
       y, uv = out
-      assert y.shape == (n, h, w) and uv.shape == (n, 2, h // 2, w // 2)
+      assert y.shape == (n, yh, yw), (trial, y.shape)
+      assert uv.shape == (n, 2, yh // 2, yw // 2)
       assert np.isfinite(np.asarray(m)).all(), trial
       continue
     if resize is not None:

@@ -178,3 +178,52 @@ def test_banded_mixed_kernel_paths_shapes(monkeypatch, rng):
       work_dtype=types.bf16, pattern=BayerPattern.RGGB)
   assert out.shape == (1, 3, 72, 256)
   assert np.isfinite(np.asarray(m)).all()
+
+
+def test_banded_shape_fuzz():
+  """Seeded fuzz over the banded driver (round-3, VERDICT #8): dtype x
+  pattern x bands x resize x transform x color_format must produce
+  correctly-shaped finite outputs and match the unbanded step."""
+  from taichi_image_tpu import types as tit_types
+  from taichi_image_tpu.models.camera_isp import camera_isp
+  from taichi_image_tpu.ops.interpolate import ImageTransform
+
+  rng = np.random.default_rng(7)
+  wds = [tit_types.f32, tit_types.f16, tit_types.bf16]
+  patterns = list(BayerPattern)
+  swap = (ImageTransform.rotate_90, ImageTransform.rotate_270,
+          ImageTransform.transpose, ImageTransform.transverse)
+  for trial in range(8):
+    n = int(rng.integers(1, 3))
+    h = 16 * int(rng.integers(3, 8))
+    w = 2 * int(rng.integers(24, 60))
+    n_bands = int(rng.integers(2, 5))
+    wd = wds[trial % 3]
+    pat = patterns[int(rng.integers(0, 4))]
+    t = (ImageTransform.none if rng.random() < 0.5 else
+         list(ImageTransform)[int(rng.integers(0, 8))])
+    resize_kw = {}
+    eh, ew = h, w
+    if rng.random() < 0.5:
+      eh, ew = h // 2, w // 2
+      resize_kw = dict(scale=0.5)
+    cfmt = ("yuv420" if (rng.random() < 0.3 and eh % 2 == 0 and
+                         ew % 2 == 0) else "rgb")
+    if t in swap:
+      eh, ew = ew, eh
+    if cfmt == "yuv420" and (eh % 2 or ew % 2):
+      cfmt = "rgb"
+    raws = _raws(n, h=h, w=w, seed=trial)
+    cls = camera_isp(f"Fuzz{trial}", wd)
+    a = cls(pat, transform=t, **resize_kw)
+    b = cls(pat, transform=t, **resize_kw)
+    want = a.process(raws, gamma=0.8, color_format=cfmt)
+    got = b.process_large(raws, n_bands=n_bands, gamma=0.8,
+                          color_format=cfmt)
+    if cfmt == "yuv420":
+      for g, wv in zip(got, want):
+        _assert_band_equal(np.asarray(g), np.asarray(wv))
+    else:
+      g = np.asarray(got)
+      assert g.shape == (n, 3, eh, ew), (trial, g.shape, (n, 3, eh, ew))
+      _assert_band_equal(g, np.asarray(want))

@@ -265,3 +265,47 @@ def test_spatial_resize_misalignment_raises():
     spatial.make_spatial_isp_step(
         mesh, work_dtype=types.f32, pattern=bayer.BayerPattern.RGGB,
         n_cameras=1, image_hw=(96, 128), resize_plan=((40, 30), 0.3125))
+
+
+def test_spatial_shape_fuzz():
+  """Seeded fuzz over the row-sharded step (round-3, VERDICT #8):
+  n_dev x dtype x pattern x resize must match the unsharded step."""
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  rng = np.random.default_rng(11)
+  wds = [types.f32, types.f16]
+  for trial in range(6):
+    n_dev = int(rng.choice([2, 4]))
+    n_cam = int(rng.integers(1, 3))
+    h = 16 * n_dev * int(rng.integers(1, 3))
+    w = 2 * int(rng.integers(24, 56))
+    wd = wds[trial % 2]
+    pat = list(bayer.BayerPattern)[int(rng.integers(0, 4))]
+    resize = None
+    if rng.random() < 0.5 and (h // 2) % (n_dev * 8) == 0:
+      resize = ((w // 2, h // 2), 0.5)
+    raws = np.stack([
+        rng.integers(0, 256, size=(h, w * 3 // 2), dtype=np.uint8)
+        for _ in range(n_cam)])
+
+    from taichi_image_tpu.models.camera_isp import camera_isp
+    cls = camera_isp(f"SpFuzz{trial}", wd)
+    ref = cls(pat, scale=0.5 if resize else None)
+    ref_out = ref.process(raws, gamma=0.8)
+
+    mesh = _mesh(n_dev)
+    step = spatial.make_spatial_isp_step(
+        mesh, work_dtype=wd, pattern=pat, n_cameras=n_cam,
+        image_hw=(h, w), resize_plan=resize)
+    raws_s = jax.device_put(jnp.asarray(raws),
+                            NamedSharding(mesh, P(None, spatial.ROW_AXIS)))
+    prev = jax.device_put(jnp.zeros(9, jnp.float32),
+                          NamedSharding(mesh, P()))
+    m, out = step(raws_s, prev, jnp.float32(0.0), jnp.float32(0.8),
+                  jnp.float32(1.0), jnp.float32(1.0), jnp.float32(0.0))
+    got = np.asarray(out)
+    want = np.asarray(ref_out)
+    assert got.shape == want.shape, (trial, got.shape, want.shape)
+    d = np.abs(got.astype(int) - want.astype(int))
+    assert d.max() <= 1, (trial, d.max())
+    np.testing.assert_allclose(np.asarray(m), np.asarray(ref.metrics),
+                               atol=1e-5)

@@ -57,8 +57,13 @@ def _rsel3(tr, hh_img, h_raw):
   return r
 
 
-def mega_kernel(w12, inv_full, tr, wh, ni, nt, h_raw, fin, hbm_ref,
-                sel_ref, rsel_ref, out_ref, temp, scratch, sems):
+def mega_kernel(w12, inv_full, tr, wh, ni, nt, h_raw, fin, sample,
+                *refs):
+  if sample:
+    (hbm_ref, sel_ref, rsel_ref, rs_ref, cs_ref, out_ref, samp_ref,
+     temp, scratch, sems) = refs
+  else:
+    hbm_ref, sel_ref, rsel_ref, out_ref, temp, scratch, sems = refs
   rw = 2 * tr + 16
   t = pl.program_id(0)
   i = t % ni
@@ -145,13 +150,30 @@ def mega_kernel(w12, inv_full, tr, wh, ni, nt, h_raw, fin, hbm_ref,
       vals = [vals[0] * float(ccm[d, 0]) + vals[1] * float(ccm[d, 1])
               + vals[2] * float(ccm[d, 2]) for d in range(3)]
     for c in range(3):
-      out_ref[0, 3 * p + c] = jnp.clip(vals[c], 0.0, 1.0).astype(
-          jnp.bfloat16)
+      v = jnp.clip(vals[c], 0.0, 1.0)
+      out_ref[0, 3 * p + c] = v.astype(jnp.bfloat16)
+      if sample and p == 0:
+        # metering sample grid (channels 0..2 at stride 4) via one-hot
+        # MXU dots on the FINISHED f32 value, exactly like the composed
+        # demosaic kernel's emission (HIGHEST: default f32 dots are
+        # bf16-reduced and round the samples)
+        cols = jnp.dot(v, cs_ref[...],
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+        samp_ref[0, c] = jnp.dot(rs_ref[...], cols,
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32)
 
 
-def mega(raws, tr, cc=None, interpret=False, hh_grid=None):
+def mega(raws, tr, cc=None, interpret=False, hh_grid=None,
+         sample=False):
   """hh_grid: output grid rows (>= hh). Rows beyond H/2 emit zeros —
-  pass 1088 for a (16,128)-tile-aligned bf16 output at 4K."""
+  pass 1088 for a (16,128)-tile-aligned bf16 output at 4K.
+
+  ``sample``: additionally emit the stride-4 metering sample grid of
+  channels 0..2 (round-3 re-probe, VERDICT #3) — requires tr % 32 == 0;
+  the sample column block pads to 512 lanes (wh/4 = 480 is not
+  128-aligned) and trims after."""
   n, h, wb = raws.shape
   wh = wb // 3
   hh = h // 2
@@ -166,38 +188,67 @@ def mega(raws, tr, cc=None, interpret=False, hh_grid=None):
   def out_map(t):
     return (t // ni, 0, t % ni, 0)
 
-  return pl.pallas_call(
+  operands = [raws, jnp.asarray(_sel384()),
+              jnp.asarray(_rsel3(tr, hh, h))]
+  in_specs = [
+      pl.BlockSpec(memory_space=pl.ANY),
+      pl.BlockSpec((384, 384), lambda t: (0, 0),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec((1, 2, tr + 8, 2 * tr + 16),
+                   lambda t: (jnp.where(
+                       t % ni == 0, 0,
+                       jnp.where(t % ni == ni - 1, 2, 1)), 0, 0, 0),
+                   memory_space=pltpu.VMEM),
+  ]
+  out_shapes = [jax.ShapeDtypeStruct((n, 12, hh_grid, wh), jnp.bfloat16)]
+  out_specs = [pl.BlockSpec((1, 12, tr, wh), out_map,
+                            memory_space=pltpu.VMEM)]
+  if sample:
+    assert tr % 32 == 0, tr  # sample rows per tile must be 8-aligned
+    sr = tr // 4
+    sw_pad = -(-(wh // 4) // 128) * 128
+    rs = np.zeros((sr, tr), np.float32)
+    rs[np.arange(sr), np.arange(0, tr, 4)] = 1.0
+    cs = np.zeros((wh, sw_pad), np.float32)
+    cs[np.arange(0, wh, 4), np.arange(wh // 4)] = 1.0
+    operands += [jnp.asarray(rs), jnp.asarray(cs)]
+    in_specs += [pl.BlockSpec((sr, tr), lambda t: (0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((wh, sw_pad), lambda t: (0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shapes.append(jax.ShapeDtypeStruct((n, 3, ni * sr, sw_pad),
+                                           jnp.float32))
+    out_specs.append(pl.BlockSpec((1, 3, sr, sw_pad), out_map,
+                                  memory_space=pltpu.VMEM))
+
+  res = pl.pallas_call(
       functools.partial(mega_kernel, w12, inv_full, tr, wh, ni, nt, h,
-                        fin),
-      out_shape=jax.ShapeDtypeStruct((n, 12, hh_grid, wh), jnp.bfloat16),
+                        fin, sample),
+      out_shape=out_shapes,
       grid=(nt,),
-      in_specs=[
-          pl.BlockSpec(memory_space=pl.ANY),
-          pl.BlockSpec((384, 384), lambda t: (0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, 2, tr + 8, 2 * tr + 16),
-                       lambda t: (jnp.where(
-                           t % ni == 0, 0,
-                           jnp.where(t % ni == ni - 1, 2, 1)), 0, 0, 0),
-                       memory_space=pltpu.VMEM),
-      ],
-      out_specs=pl.BlockSpec((1, 12, tr, wh), out_map,
-                             memory_space=pltpu.VMEM),
+      in_specs=in_specs,
+      out_specs=out_specs,
       scratch_shapes=[
           pltpu.VMEM((4, tr + 8, 256 + wh), jnp.bfloat16),
           pltpu.VMEM((2, 2 * tr + 16, wb), jnp.uint8),
           pltpu.SemaphoreType.DMA((2,)),
       ],
       interpret=interpret,
-  )(raws, jnp.asarray(_sel384()), jnp.asarray(_rsel3(tr, hh, h)))
+  )(*operands)
+  if not sample:
+    return res[0] if isinstance(res, (list, tuple)) else res
+  out, samp = res
+  hs, ws = -(-hh // 4), wh // 4
+  return out, samp[:, :, :hs, :ws].astype(jnp.bfloat16)
 
 
-def composed(raws, cc=None):
+def composed(raws, cc=None, sample=False):
   from taichi_image_tpu.ops.pallas.decode import decode12_phases_bf16
   from taichi_image_tpu.ops import bayer
   ph = decode12_phases_bf16(raws)
   return bayer.demosaic_phases(ph, BayerPattern.RGGB, cc=cc,
-                               out_dtype=jnp.bfloat16, backend="pallas")
+                               out_dtype=jnp.bfloat16, backend="pallas",
+                               sample_step=4 if sample else 0)
 
 
 def composed_interp(raws, cc=None):
@@ -209,12 +260,25 @@ def composed_interp(raws, cc=None):
                                out_dtype=jnp.bfloat16, backend="xla")
 
 
+def composed_interp_sample(raws, cc=None):
+  from taichi_image_tpu.models.camera_isp import load_raw_phases
+  from taichi_image_tpu.ops import bayer
+  from taichi_image_tpu import types
+  ph = load_raw_phases(raws, "packed12", types.bf16)
+  out, samp = bayer.demosaic_phases(ph, BayerPattern.RGGB, cc=cc,
+                                    out_dtype=jnp.bfloat16,
+                                    backend="xla", sample_step=4)
+  return out, samp
+
+
 def bench(fn, raws, k=10, reps=3):
   @jax.jit
   def steps(raws):
     acc = jnp.float32(0)
     for i in range(k):
-      acc = acc + jnp.sum(fn(raws ^ jnp.uint8(i)).astype(jnp.float32))
+      r = fn(raws ^ jnp.uint8(i))
+      for x in (r if isinstance(r, (tuple, list)) else (r,)):
+        acc = acc + jnp.sum(x.astype(jnp.float32))
     return acc
   _ = np.asarray(steps(raws))
   best = None
@@ -249,6 +313,21 @@ def main():
     tag = "cc" if ccase is not None else "nocc"
     print(f"small {tag}: max ulp diff={d.max()} "
           f"frac={float((d != 0).mean()):.2e}", flush=True)
+  # sample-emission value check (interpret-compatible): mega sample ==
+  # composed kernel's sample on the same raws (tr=32 needs >= 80 raw
+  # rows for the halo'd band DMA)
+  small2 = jnp.asarray(rng.integers(0, 256, size=(2, 128, 1152),
+                                    dtype=np.uint8))
+  ref_o, ref_s = jax.jit(functools.partial(
+      composed_interp_sample, cc=cc))(small2)
+  got_o, got_s = jax.jit(functools.partial(
+      mega, tr=32, cc=cc, sample=True,
+      interpret=args.interpret))(small2)
+  ds = np.abs(np.asarray(got_s, np.float32) - np.asarray(ref_s,
+                                                         np.float32))
+  print(f"small sample: max|diff|={float(ds.max()):.2e} "
+        f"shape={np.asarray(got_s).shape}", flush=True)
+
   if args.interpret:
     return
 
@@ -272,14 +351,33 @@ def main():
         f"frac={float((d != 0).mean()):.2e} pad-rows-zero={bool((z == 0).all())}",
         flush=True)
 
-  print(f"composed: {bench(functools.partial(composed, cc=cc), raws):6.2f}"
-        " ms", flush=True)
-  for tr, hg in ((32, 1088), (16, 1088), (40, None)):
+  # round-3 re-probe (VERDICT #3): WITH in-kernel sample emission on
+  # both sides — the composed path's former advantage
+  got_s, samp_s = jax.jit(functools.partial(
+      mega, tr=32, cc=cc, hh_grid=1088, sample=True))(raws)
+  ref_s, rsamp_s = jax.jit(functools.partial(
+      composed, cc=cc, sample=True))(raws)
+  ds = np.abs(np.asarray(samp_s, np.float32)
+              - np.asarray(rsamp_s, np.float32))
+  print(f"sample emission vs composed: max|diff|={float(ds.max()):.2e}",
+        flush=True)
+
+  print(f"composed:          "
+        f"{bench(functools.partial(composed, cc=cc), raws):6.2f} ms",
+        flush=True)
+  print(f"composed+sample:   "
+        f"{bench(functools.partial(composed, cc=cc, sample=True), raws):6.2f} ms",
+        flush=True)
+  for tr, hg, smp in ((32, 1088, True), (32, 1088, False), (40, None,
+                                                            False)):
     try:
-      ms = bench(functools.partial(mega, tr=tr, cc=cc, hh_grid=hg), raws)
-      print(f"mega tr={tr} grid={hg}: {ms:6.2f} ms", flush=True)
+      ms = bench(functools.partial(mega, tr=tr, cc=cc, hh_grid=hg,
+                                   sample=smp), raws)
+      print(f"mega tr={tr} grid={hg} sample={smp}: {ms:6.2f} ms",
+            flush=True)
     except Exception as e:
-      print(f"mega tr={tr} grid={hg}: FAIL {str(e)[:80]}", flush=True)
+      print(f"mega tr={tr} grid={hg} sample={smp}: FAIL {str(e)[:80]}",
+            flush=True)
 
 
 if __name__ == "__main__":
