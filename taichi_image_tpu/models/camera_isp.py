@@ -54,44 +54,75 @@ class PlanarImage:
   (camera_isp.py:318-403) — a layout whose 3-lane minor dim pads 10-42x
   in TPU tiled memory (docs/PERFORMANCE.md), so materializing it on
   device makes the legacy API unusable at 4K. This handle keeps the
-  image PLANAR (C, H, W) on device (the framework-wide convention) and
-  presents the reference's interleaved contract only at the numpy/host
-  boundary, where the conversion is a free ``np.moveaxis`` view:
+  image in the framework's native device forms — 12-channel Bayer PHASE
+  planes (N-less (12, H/2, W/2), what the loaders produce; even the
+  device-side interleave to planar bf16 measured ~18 ms/frame at 4K) or
+  planar (C, H, W) (what the tonemaps produce as u8) — and presents the
+  reference's interleaved contract only at the numpy/host boundary,
+  where the conversion is a cheap host reshape/view:
 
-      img = isp.load_packed12(raw)      # device planar inside
+      img = isp.load_packed12(raw)      # device phase planes inside
       np.asarray(img).shape             # (H, W, 3) — reference layout
 
   All per-image methods (``tonemap_*``, ``update_metering``,
-  ``resize_image``) accept and return these handles; raw HWC arrays are
-  also accepted (converted on entry).
+  ``resize_image``) accept and return these handles (phase-backed
+  handles flow through the SAME phase-form pipeline as the fused step);
+  raw HWC arrays are also accepted (converted on entry).
   """
 
-  __slots__ = ("planar",)
+  __slots__ = ("_planar", "_phases")
 
-  def __init__(self, planar):
-    self.planar = planar
+  def __init__(self, planar=None, phases=None):
+    if (planar is None) == (phases is None):
+      raise ValueError("exactly one of planar/phases")
+    self._planar = planar
+    self._phases = phases
 
   @property
   def shape(self):
-    c, h, w = self.planar.shape
-    return (h, w, c)
+    if self._planar is not None:
+      c, h, w = self._planar.shape
+      return (h, w, c)
+    _, hh, wh = self._phases.shape
+    return (2 * hh, 2 * wh, 3)
 
   @property
   def dtype(self):
-    return self.planar.dtype
+    a = self._planar if self._planar is not None else self._phases
+    return a.dtype
+
+  @property
+  def planar(self):
+    """Device planar (C, H, W) view — interleaves phase-backed handles
+    ON DEVICE (costly for 16-bit dtypes at 4K; prefer the numpy
+    boundary or phase-form consumers)."""
+    if self._planar is None:
+      return phases_to_planar(self._phases[None])[0]
+    return self._planar
 
   def __array__(self, dtype=None, copy=None):
-    a = np.moveaxis(np.asarray(self.planar), 0, -1)
+    if self._planar is not None:
+      a = np.moveaxis(np.asarray(self._planar), 0, -1)
+    else:
+      x12 = np.asarray(self._phases)
+      _, hh, wh = x12.shape
+      # host-side phases_to_planar + HWC: (pc, pr, c, hh, wh) ->
+      # (hh, pr, wh, pc, c) -> one C-order copy
+      a = (x12.reshape(2, 2, 3, hh, wh).transpose(3, 1, 4, 0, 2)
+           .reshape(2 * hh, 2 * wh, 3))
     if dtype is not None:
       a = a.astype(dtype, copy=False)
     return np.array(a, copy=True) if copy else a
 
   def block_until_ready(self):
-    self.planar.block_until_ready()
+    (self._planar if self._planar is not None
+     else self._phases).block_until_ready()
     return self
 
   def __repr__(self):
-    return f"PlanarImage(hwc_shape={self.shape}, dtype={self.dtype})"
+    form = "planar" if self._planar is not None else "phases"
+    return (f"PlanarImage(hwc_shape={self.shape}, dtype={self.dtype}, "
+            f"form={form})")
 
 
 def _to_planar(im):
@@ -308,32 +339,60 @@ class _ISPBase:
     (reference camera_isp.py:302-315). Accepts a :class:`PlanarImage`
     or an (H, W, C) array; returns a :class:`PlanarImage`."""
     plan = self._resize_plan(image.shape[0], image.shape[1])
-    p = _to_planar(image)
     if plan is None:
-      return image if isinstance(image, PlanarImage) else PlanarImage(p)
+      return (image if isinstance(image, PlanarImage)
+              else PlanarImage(_to_planar(image)))
     size, scale = plan
+    if isinstance(image, PlanarImage) and image._phases is not None:
+      rgb, _ = _resize_x12(image._phases[None], size, scale,
+                           self._work_dtype)
+      return PlanarImage(rgb[0])
     return PlanarImage(
-        _resize_planar(p[None], size, scale, self._work_dtype)[0])
+        _resize_planar(_to_planar(image)[None], size, scale,
+                       self._work_dtype)[0])
 
   def metering_images(self, images: List, t: float, prev, stride: int = 8):
     """One metering update over strided crops (reference
     camera_isp.py:168-175); functional — returns the new vec9 without
     consuming ``prev`` (the donating jit gets a fresh copy)."""
-    batch = jnp.stack([_to_planar(im) for im in images])
+    if (stride % 2 == 0 and images
+        and all(isinstance(im, PlanarImage) and im._phases is not None
+                for im in images)):
+      form, batch = "phases", jnp.stack([im._phases for im in images])
+    else:
+      form, batch = "planar", jnp.stack([_to_planar(im)
+                                         for im in images])
     prev = jnp.array(np.asarray(prev), jnp.float32)  # fresh buffer
-    return _jit_metering_planar(batch, prev, jnp.float32(t), stride)
+    fn = (_jit_metering_phases if form == "phases"
+          else _jit_metering_planar)
+    return fn(batch, prev, jnp.float32(t), stride)
 
   # -- loaders (single image, reference API) ------------------------------
   # All loaders run the planar phase core (decode -> demosaic+WB/CCM ->
   # resize) and hand out PlanarImage handles: interleaved HWC device
   # arrays pad 10-42x in TPU tiled memory, which made the round-2 legacy
   # path CPU-grade (docs/PERFORMANCE.md; round-2 VERDICT missing #5).
+  # Without a resize the handle stays in PHASE form (even the planar
+  # 16-bit interleave costs ~18 ms/frame at 4K), so the downstream
+  # tonemap_* run the same phase pipeline as the fused step.
 
   def _load_one(self, raws1, fmt, ids_format=False):
+    plan = self._resize_plan_key(raws1, fmt)
     out = _jit_load_planar(raws1, fmt, ids_format, self._work_dtype,
-                           self.bayer_pattern, self._cc_tuple(),
-                           self._resize_plan_key(raws1, fmt))
-    return PlanarImage(out[0])
+                           self.bayer_pattern, self._cc_tuple(), plan)
+    if plan is None:
+      return PlanarImage(phases=out[0])
+    return PlanarImage(planar=out[0])
+
+  def _stack_batch(self, images):
+    """-> ('phases', (N, 12, hh, wh)) when every image is phase-backed
+    and the metering stride is even (the fused-path condition), else
+    ('planar', (N, C, H, W))."""
+    if (self.metering_stride % 2 == 0 and images
+        and all(isinstance(im, PlanarImage) and im._phases is not None
+                for im in images)):
+      return "phases", jnp.stack([im._phases for im in images])
+    return "planar", jnp.stack([_to_planar(im) for im in images])
 
   def load_packed12(self, image_data, ids_format: bool = False):
     """Packed 12-bit plane -> working-dtype RGB (camera_isp.py:333-340)."""
@@ -378,48 +437,63 @@ class _ISPBase:
     (subsample_hw): the reference's ``[::8, ::8]`` slice translated
     literally is a TPU minor-dim gather (~13 ms at 4K,
     docs/PERFORMANCE.md '150 ms trap')."""
-    batch = jnp.stack([_to_planar(im) for im in images])
+    form, batch = self._stack_batch(images)
+    self._update_metering_batch(form, batch)
+
+  def _update_metering_batch(self, form, batch):
     if self.metrics is None:
       prev = jnp.zeros(9, jnp.float32)
       t = 0.0
     else:
       prev = self.metrics
       t = 1.0 - self.moving_alpha
-    self.metrics = _jit_metering_planar(batch, prev, jnp.float32(t),
-                                        self.metering_stride)
+    fn = (_jit_metering_phases if form == "phases"
+          else _jit_metering_planar)
+    self.metrics = fn(batch, prev, jnp.float32(t), self.metering_stride)
 
   # -- tonemap -------------------------------------------------------------
+  # Phase-backed batches (the loaders' native form) run the fused
+  # step's phase tail (Pallas map kernel on bf16, u8-only interleave,
+  # phase-space transform); planar/HWC inputs use the planar tail.
 
   def tonemap_only(self, image, metrics, gamma, intensity, light_adapt,
                    color_adapt):
     """Tonemap one image with explicit metrics (camera_isp.py:387-390)."""
-    out = _jit_reinhard_planar(
-        _to_planar(image)[None], jnp.asarray(metrics), float(gamma),
-        float(intensity), float(light_adapt), float(color_adapt),
-        self._work_dtype, self.transform)
+    if isinstance(image, PlanarImage) and image._phases is not None:
+      out = _jit_reinhard_phases(
+          image._phases[None], jnp.asarray(metrics), float(gamma),
+          float(intensity), float(light_adapt), float(color_adapt),
+          self._work_dtype, self.transform)
+    else:
+      out = _jit_reinhard_planar(
+          _to_planar(image)[None], jnp.asarray(metrics), float(gamma),
+          float(intensity), float(light_adapt), float(color_adapt),
+          self._work_dtype, self.transform)
     return PlanarImage(out[0])
 
   def tonemap_reinhard(self, images: List, gamma: float = 1.0,
                        intensity: float = 1.0, light_adapt: float = 1.0,
                        color_adapt: float = 0.0):
     """Shared metering update + per-camera Reinhard + output transform
-    (reference camera_isp.py:394-403). Planar throughout (the bf16
-    working dtype rides the Pallas map kernel); returns
+    (reference camera_isp.py:394-403). Phase/planar throughout (the
+    bf16 working dtype rides the Pallas map kernel); returns
     :class:`PlanarImage` u8 handles."""
-    self.update_metering(images)
-    batch = jnp.stack([_to_planar(im) for im in images])
-    out = _jit_reinhard_planar(batch, self.metrics, float(gamma),
-                               float(intensity), float(light_adapt),
-                               float(color_adapt), self._work_dtype,
-                               self.transform)
+    form, batch = self._stack_batch(images)
+    self._update_metering_batch(form, batch)
+    fn = (_jit_reinhard_phases if form == "phases"
+          else _jit_reinhard_planar)
+    out = fn(batch, self.metrics, float(gamma), float(intensity),
+             float(light_adapt), float(color_adapt), self._work_dtype,
+             self.transform)
     return [PlanarImage(o) for o in out]
 
   def tonemap_linear(self, images: List, gamma: float = 1.0):
     """Reference camera_isp.py:405-413."""
-    self.update_metering(images)
-    batch = jnp.stack([_to_planar(im) for im in images])
-    out = _jit_linear_planar(batch, self.metrics, float(gamma),
-                             self.transform)
+    form, batch = self._stack_batch(images)
+    self._update_metering_batch(form, batch)
+    fn = (_jit_linear_phases if form == "phases"
+          else _jit_linear_planar)
+    out = fn(batch, self.metrics, float(gamma), self.transform)
     return [PlanarImage(o) for o in out]
 
   # -- fused TPU-native step ----------------------------------------------
@@ -549,7 +623,10 @@ def _jit_load_planar(raws, fmt, ids_format, work_dtype, pattern, cc,
   """Per-image-API loader batch core: decode -> demosaic(+CCM) ->
   resize, entirely in phase/planar form. Same stages as the reference's
   load_* -> resize chain (camera_isp.py:333-373) routed through the
-  Pallas-eligible planar pipeline."""
+  Pallas-eligible planar pipeline. Returns PHASE form (N, 12, hh, wh)
+  when there is no resize (the per-frame interleave to 16-bit planar
+  measured ~18 ms at 4K and nothing downstream needs it), else the
+  resized planar RGB."""
   phases = load_raw_phases(raws, fmt, work_dtype, ids_format)
   wd = types.canonical_dtype(work_dtype)
   x12 = demosaic_phases(phases, pattern, cc=cc, out_dtype=wd)
@@ -557,13 +634,22 @@ def _jit_load_planar(raws, fmt, ids_format, work_dtype, pattern, cc,
     size, scale = resize_plan
     rgb, _ = _resize_x12(x12, size, scale, work_dtype)
     return rgb
-  return phases_to_planar(x12)
+  return x12
 
 
 @partial(jax.jit, static_argnames=("stride",), donate_argnums=(1,))
 def _jit_metering_planar(batch, prev, t, stride):
   from taichi_image_tpu.ops.bayer import subsample_hw as _sub
   return metering_update_ca(_sub(batch, stride, stride), prev, t)
+
+
+@partial(jax.jit, static_argnames=("stride",), donate_argnums=(1,))
+def _jit_metering_phases(x12, prev, t, stride):
+  # full-res stride-s pixels are exactly phase (0, 0) channels at
+  # half-res stride s/2 (the fused step's metering identity)
+  from taichi_image_tpu.ops.bayer import subsample_hw as _sub
+  s = stride // 2
+  return metering_update_ca(_sub(x12[:, 0:3], s, s), prev, t)
 
 
 # The tonemap scalars are STATIC Python floats: constant per rig in
@@ -585,6 +671,30 @@ def _jit_reinhard_planar(batch, metrics, gamma, intensity, light_adapt,
 def _jit_linear_planar(batch, metrics, gamma, transform):
   out = linear_apply_ca(batch, metrics, gamma)
   return _transform_planar(out, transform)
+
+
+@partial(jax.jit, static_argnames=("gamma", "intensity", "light_adapt",
+                                   "color_adapt", "work_dtype",
+                                   "transform"))
+def _jit_reinhard_phases(x12, metrics, gamma, intensity, light_adapt,
+                         color_adapt, work_dtype, transform):
+  """Phase-form tonemap for phase-backed image batches: identical tail
+  to the fused step (bf16 rides the Pallas map kernel; the interleave
+  happens once, on u8, transform in phase space)."""
+  n, _, hh, wh = x12.shape
+  out12 = reinhard_apply_ca(x12.reshape(n, 4, 3, hh, wh), metrics,
+                            gamma, intensity, light_adapt, color_adapt,
+                            work_dtype)
+  return planar_from_phases_transformed(out12.reshape(n, 12, hh, wh),
+                                        transform)
+
+
+@partial(jax.jit, static_argnames=("gamma", "transform"))
+def _jit_linear_phases(x12, metrics, gamma, transform):
+  n, _, hh, wh = x12.shape
+  out12 = linear_apply_ca(x12.reshape(n, 4, 3, hh, wh), metrics, gamma)
+  return planar_from_phases_transformed(out12.reshape(n, 12, hh, wh),
+                                        transform)
 
 
 # --------------------------------------------------------------------------

@@ -90,18 +90,24 @@ def bench_graph(raws, composed: bool):
     for i in range(K):
       ri = raws ^ jnp.uint8(i)
       if composed:
+        # the round-3 legacy flow: loaders hand out PHASE-form handles
+        # (no per-frame interleave — the barriered planar variant of
+        # this probe measured 133 ms/set, ~107 ms of which was 6x
+        # per-camera bf16 interleave), tonemap consumes phase form
         imgs = []
         for c in range(N):  # per-camera load programs
           ph = load_raw_phases(ri[c][None], "packed12", types.bf16)
           x12 = bayer_ops.demosaic_phases(ph, BayerPattern.RGGB,
                                           out_dtype=jnp.bfloat16)
-          planar = bayer_ops.phases_to_planar(x12)
-          imgs.append(jax.lax.optimization_barrier(planar[0]))
+          imgs.append(jax.lax.optimization_barrier(x12[0]))
         batch = jnp.stack(imgs)
-        m = metering_update_ca(subsample_hw(batch, 8, 8), m,
+        m = metering_update_ca(subsample_hw(batch[:, 0:3], 4, 4), m,
                                jnp.float32(0.9))
-        out = reinhard_apply_ca(batch, m, 0.9, 3.0, 1.0, 0.0,
-                                types.bf16)
+        n, _, hh, wh = batch.shape
+        out12 = reinhard_apply_ca(batch.reshape(n, 4, 3, hh, wh), m,
+                                  0.9, 3.0, 1.0, 0.0, types.bf16)
+        out = bayer_ops.phases_to_planar(
+            out12.reshape(n, 12, hh, wh))
       else:
         m, out = fused_isp_step(
             ri, m, jnp.float32(0.9), 0.9, 3.0, 1.0, 0.0, "packed12",
