@@ -53,6 +53,8 @@ def main():
   import jax
   import jax.numpy as jnp
   from taichi_image_tpu import types
+  from taichi_image_tpu.utils.platform import ensure_backend_for_timing
+  ensure_backend_for_timing()
   from taichi_image_tpu.models.camera_isp import fused_isp_step
   from taichi_image_tpu.ops.bayer import BayerPattern
   from taichi_image_tpu.ops.interpolate import ImageTransform

@@ -858,9 +858,19 @@ def reinhard_gamma_ca(p_cast, max_out, gamma):
 def reinhard_map_max_ca(x, metrics, intensity, light_adapt,
                         color_adapt, work_dtype, axis_name=None):
   """Map stage of the ISP Reinhard, channels at axis -3: returns
-  ``(p_cast, max_out)`` — the working-dtype map output and the
-  per-image pre-gamma f32 p max (broadcastable). Finish with
-  :func:`reinhard_gamma_ca`.
+  ``(p_cast, max_out)`` — the working-dtype map output in FLAT
+  ``(n, c_total, H, W)`` form (all channel-like dims of ``x`` merged)
+  and the per-image pre-gamma f32 p max shaped ``(n, 1, 1, 1)``.
+  Finish with :func:`reinhard_gamma_ca`, THEN reshape the u8.
+
+  The flat contract is load-bearing for fusion, not cosmetics: keeping
+  the Pallas kernel output in its native (n, 12, hh, wh) shape until
+  after u8 quantization lets XLA fuse the f32 convert + divide + clamp
+  chain directly onto the kernel result. A reshape to (n, 4, 3, hh,
+  wh) between kernel and arithmetic made XLA hoist the convert to an
+  entry-level op that materialized the full-res f32 map (597 MB at
+  6x4K) in HBM — a measured +2.0 ms/step tail regression (round-3
+  mid-round; r2-vs-r3 same-window HLO diff in docs/PERFORMANCE.md).
 
   bf16 fast path: when the working dtype is bf16 on TPU (and
   ``color_adapt`` is the static reference default 0.0), the map+max runs
@@ -869,26 +879,26 @@ def reinhard_map_max_ca(x, metrics, intensity, light_adapt,
   kernel streams ~2x faster; values match XLA bitwise on probed inputs
   (tolerance contract: <=1 u8 count, tools/probe_tail2.py)."""
   wd = types.canonical_dtype(work_dtype)
+  flat = x.reshape(x.shape[0], -1, x.shape[-2], x.shape[-1])
   if (wd == types.bf16 and x.dtype == jnp.bfloat16
       and isinstance(color_adapt, float) and color_adapt == 0.0):
     from taichi_image_tpu.ops.pallas.reinhard import (
         reinhard_bf16_available, reinhard_map_bf16_dma)
-    flat = x.reshape(x.shape[0], -1, x.shape[-2], x.shape[-1])
     if reinhard_bf16_available(flat.shape[1], flat.shape[2],
                                flat.shape[3]):
       p_cast, max_out = reinhard_map_bf16_dma(flat, metrics, intensity,
                                               light_adapt)
       if axis_name is not None:
         max_out = jax.lax.pmax(max_out, axis_name)
-      max_out = max_out.reshape((x.shape[0],) + (1,) * (x.ndim - 1))
-      return p_cast.reshape(x.shape), max_out
+      return p_cast, max_out.reshape(x.shape[0], 1, 1, 1)
   p = reinhard_map_ca(x, metrics, intensity, light_adapt, color_adapt)
   p_cast = p.astype(types.canonical_dtype(work_dtype))
   axes = tuple(range(1, p.ndim))
-  max_out = jnp.max(p, axis=axes, keepdims=True)
+  max_out = jnp.max(p, axis=axes)
   if axis_name is not None:
     max_out = jax.lax.pmax(max_out, axis_name)
-  return p_cast, max_out
+  return (p_cast.reshape(flat.shape),
+          max_out.reshape(x.shape[0], 1, 1, 1))
 
 
 def reinhard_apply_ca(x, metrics, gamma, intensity, light_adapt,
@@ -901,7 +911,7 @@ def reinhard_apply_ca(x, metrics, gamma, intensity, light_adapt,
   cast, max_out = reinhard_map_max_ca(
       x, metrics, intensity, light_adapt, color_adapt, work_dtype,
       axis_name=axis_name)
-  return reinhard_gamma_ca(cast, max_out, gamma)
+  return reinhard_gamma_ca(cast, max_out, gamma).reshape(x.shape)
 
 
 def linear_apply_ca(x, metrics, gamma):

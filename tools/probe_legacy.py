@@ -13,6 +13,11 @@ the same way here for apples-to-apples (its chained-jit number is the
 headline bench).
 """
 
+import sys
+sys.path.insert(0, "/root/repo")
+from taichi_image_tpu.utils.platform import ensure_backend_for_timing
+ensure_backend_for_timing()
+
 import time
 
 import numpy as np

@@ -13,6 +13,11 @@ Compared for bit-equality against the composed pipeline
 (decode12_phases_bf16 -> demosaic_phases fused-finish path).
 """
 
+import sys
+sys.path.insert(0, "/root/repo")
+from taichi_image_tpu.utils.platform import ensure_backend_for_timing
+ensure_backend_for_timing()
+
 import functools
 import time
 

@@ -15,6 +15,11 @@ Values are bitwise-equal to resize(interleave) (same source values,
 same f32 lerp arithmetic).
 """
 
+import sys
+sys.path.insert(0, "/root/repo")
+from taichi_image_tpu.utils.platform import ensure_backend_for_timing
+ensure_backend_for_timing()
+
 import functools
 import time
 

@@ -5,6 +5,11 @@ to stages. All prefixes end in a full-array f32 sum so no stage is dead-
 code eliminated.
 """
 
+import sys
+sys.path.insert(0, "/root/repo")
+from taichi_image_tpu.utils.platform import ensure_backend_for_timing
+ensure_backend_for_timing()
+
 import time
 
 import numpy as np

@@ -6,6 +6,11 @@ Input is the x12 phase-RGB tensor (what the demosaic emits); stages are
 timed as cumulative prefixes ending in f32 sums.
 """
 
+import sys
+sys.path.insert(0, "/root/repo")
+from taichi_image_tpu.utils.platform import ensure_backend_for_timing
+ensure_backend_for_timing()
+
 import time
 
 import numpy as np
