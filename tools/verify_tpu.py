@@ -20,6 +20,8 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 
 RESULT = {"device": None, "checks": [], "pass": True}
