@@ -1106,14 +1106,23 @@ def yuv420_from_planar_u8(out):
   return y_u8, uv_u8
 
 
-def _yuv420_from_u8_phase_pair(u8_y12, u8_uv12):
-  """I420 from u8 phase-RGB with SEPARATE (bitwise-identical) arrays
-  feeding the Y and chroma chains — see :func:`yuv420_finish_from_map`
-  for why the duplication exists. Semantics of both chains are the
-  reference YUV kernel's on quantized u8 RGB (color/yuv_420.py:38-66):
-  matrix applied to the channel-reversed vector, min(1, x) upper clamp,
-  V-then-U plane order. The 2x2 chroma block mean is exactly the mean
-  over the four Bayer phases — in phase form the subsampling is free."""
+def yuv420_from_phases_u8(out12):
+  """Tonemapped u8 phase-RGB (N, 12, hh, wh) -> planar I420 u8:
+  (Y (N, H, W), UV (N, 2, hh, wh)).
+
+  Replicates the reference YUV kernel semantics on the quantized u8 RGB
+  (color/yuv_420.py:38-66): matrix applied to the channel-reversed
+  vector, min(1, x) upper clamp, V-then-U plane order. The 2x2 chroma
+  block mean is exactly the mean over the four Bayer phases — in phase
+  form the subsampling is free.
+
+  The u8 phase array is deliberately a two-consumer value (one 1-byte
+  materialization read by both chains). A barrier-recompute variant
+  that re-ran the gamma finish inside each chain from the bf16 map
+  output was raced same-run and lost by ~1 ms at 6x4K
+  (tools/probe_i420.py) — two full-res bf16 reads + converts cost more
+  than one u8 write + two u8 reads."""
+  u8_y12 = u8_uv12 = out12
   from taichi_image_tpu.ops.color import _YUV_M, _YUV_OFFSET
   n, _, hh, wh = u8_y12.shape
   m, off = _YUV_M, _YUV_OFFSET  # applied to the channel-REVERSED vector
@@ -1141,32 +1150,6 @@ def _yuv420_from_u8_phase_pair(u8_y12, u8_uv12):
   uv = jnp.minimum(1.0, jnp.stack([v, u], axis=1))
   uv_u8 = jnp.clip(uv * 255.0, 0, 255).astype(jnp.uint8)
   return y_u8, uv_u8
-
-
-def yuv420_from_phases_u8(out12):
-  """Tonemapped u8 phase-RGB (N, 12, hh, wh) -> planar I420 u8:
-  (Y (N, H, W), UV (N, 2, hh, wh)). See
-  :func:`_yuv420_from_u8_phase_pair` for the conversion semantics."""
-  return _yuv420_from_u8_phase_pair(out12, out12)
-
-
-def yuv420_finish_from_map(cast12, max_out, gamma):
-  """Reinhard map output (N, 12, hh, wh) + per-image max -> planar I420
-  u8, fusing the gamma finish into BOTH the Y and chroma chains.
-
-  Composing :func:`reinhard_gamma_ca` then :func:`yuv420_from_phases_u8`
-  makes the full-res u8 RGB phase array a two-consumer value, which XLA
-  materializes in HBM (150 MB at 6x4K) and re-reads twice. Recomputing
-  the (cheap, elementwise) finish inside each chain trades ~450 MB of
-  HBM traffic for registers; the ``optimization_barrier`` defeats XLA's
-  CSE, which would otherwise merge the two identical finish expressions
-  back into one materialized value. Outputs are bitwise-identical to the
-  composed form (both chains compute the same u8 values)."""
-  max_out = max_out.reshape(cast12.shape[0], 1, 1, 1)
-  u8_y = reinhard_gamma_ca(cast12, max_out, gamma)
-  u8_uv = reinhard_gamma_ca(jax.lax.optimization_barrier(cast12),
-                            max_out, gamma)
-  return _yuv420_from_u8_phase_pair(u8_y, u8_uv)
 
 
 def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
@@ -1268,22 +1251,28 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
       cast, max_out = reinhard_map_max_ca(
           x12.reshape(n, 4, 3, hh, wh), new_metrics, intensity,
           light_adapt, color_adapt, work_dtype)
-      if color_format == "yuv420":
-        # output transform runs in phase space on the MAP output, then
-        # the gamma finish fuses into the Y/chroma chains — no
-        # interleaved or u8 RGB intermediate at any transform
-        cast12 = _transform_phases(cast.reshape(n, 12, hh, wh),
-                                   transform)
-        return new_metrics, yuv420_finish_from_map(cast12, max_out,
-                                                   gamma)
       out12 = reinhard_gamma_ca(cast, max_out, gamma)
+      if color_format == "yuv420":
+        # gamma -> u8 FIRST (one materialized 1-byte phase array read by
+        # both yuv chains), transform the u8 in phase space, convert —
+        # no interleaved RGB intermediate. The barrier-recompute
+        # alternative (gamma recomputed inside the Y and chroma chains
+        # from the bf16 map output) was raced same-run and LOSES by
+        # ~1 ms at 6x4K: two full bf16 reads + converts cost more than
+        # one u8 write + two u8 reads (tools/probe_i420.py: composed
+        # 10.21 vs barrier 11.21, anchor 7.26).
+        u8_12 = _transform_phases(out12.reshape(n, 12, hh, wh),
+                                  transform)
+        return new_metrics, yuv420_from_phases_u8(u8_12)
     elif tonemap == "linear":
       out12 = linear_apply_ca(x12.reshape(n, 4, 3, hh, wh), new_metrics,
                               gamma)
-      if color_format == "yuv420" and transform == ImageTransform.none:
+      if color_format == "yuv420":
+        # same u8-first route as reinhard: transform the u8 phases,
         # convert from phase form, no interleaved intermediate
-        return new_metrics, yuv420_from_phases_u8(
-            out12.reshape(n, 12, hh, wh))
+        u8_12 = _transform_phases(out12.reshape(n, 12, hh, wh),
+                                  transform)
+        return new_metrics, yuv420_from_phases_u8(u8_12)
     else:
       raise ValueError(f"unknown tonemap {tonemap}")
     # transform in phase space (see _transform_phases) then interleave

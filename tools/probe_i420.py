@@ -101,7 +101,6 @@ def s_composed(raws):
 
 
 def s_y_only(raws):
-  from taichi_image_tpu.models.camera_isp import _yuv420_from_u8_phase_pair
   m, cast, max_out = _front(raws)
   u8 = reinhard_gamma_ca(cast, max_out, 1.0)
   from taichi_image_tpu.ops import bayer as bayer_ops
