@@ -223,6 +223,38 @@ def main():
       record(f"resize_{label}_onchip", float(err.max()) < 2.5e-2,
              f"maxrel={float(err.max()):.3e}")
 
+  # 8b. Fusion-structure regression guard (round 3): the g=1 fused step
+  #     once lost 2 ms/step because a reshape between the Pallas map
+  #     kernel and the gamma arithmetic made XLA hoist the bf16->f32
+  #     convert to an ENTRY-level op materializing the full-res f32 map
+  #     (597 MB at 6x4K) in HBM. Compile the step and assert no
+  #     entry-computation op produces a full-res f32 tensor (the only
+  #     legitimate full-res entry values are the bf16 pallas outputs,
+  #     their u8 quantizations, and slices thereof).
+  import re as _re
+  hraws = jax.device_put(rng.integers(0, 256, size=(2, 512, 768 * 3 // 2),
+                                      dtype=np.uint8).astype(np.uint8))
+
+  def _hlo_step(r):
+    m, out = fused_isp_step(
+        r, jnp.zeros(9, jnp.float32), jnp.float32(0.9), 1.0, 1.0, 1.0,
+        0.0, "packed12", False, types.bf16, BayerPattern.RGGB, None,
+        None, 8, ImageTransform.none, "reinhard")
+    return m, jnp.sum(out, dtype=jnp.int32)
+
+  try:
+    txt = jax.jit(_hlo_step).lower(hraws).compile().as_text()
+    entry = txt.split("ENTRY ")[-1]
+    bad = [ln.strip()[:120] for ln in entry.splitlines()
+           if _re.match(r"\s*(ROOT )?%?[\w.\-]+ = f32\[2,(12|4,3),256,384\]",
+                        ln)
+           and " parameter(" not in ln and " get-tuple-element(" not in ln]
+    record("fused_step_no_fullres_f32_entry_op", not bad,
+           "clean" if not bad else f"hoisted: {bad[0]}")
+  except Exception as e:
+    record("fused_step_no_fullres_f32_entry_op", False,
+           f"{type(e).__name__}: {str(e)[:90]}")
+
   # 9. CLI end-to-end ON the chip (tonemap_scan → JPEG grid) — the
   #    committed on-TPU CLI verification artifact (round-2 VERDICT weak
   #    #7: the CPU-only test_scripts.py run was the only CLI evidence).
