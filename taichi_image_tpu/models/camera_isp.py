@@ -268,8 +268,8 @@ class _ISPBase:
                transform: ImageTransform = ImageTransform.none,
                device=None,
                metering_stride: int = 8):
-    assert scale is None or resize_width == 0, (
-        "Cannot specify both scale and resize_width")
+    if scale is not None and resize_width != 0:
+      raise ValueError("Cannot specify both scale and resize_width")
     self.bayer_pattern = bayer_pattern
     self.moving_alpha = moving_alpha
     self.scale = scale

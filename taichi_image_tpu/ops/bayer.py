@@ -548,9 +548,10 @@ def bayer_to_rgb(bayer,
   rescale/cast to ``dtype`` (defaults to the input dtype). ``method`` may
   be "mhc" (reference parity) or "bilinear" (cheap mode).
   """
-  assert bayer.ndim == 2, "image must be mono bayer"
-  assert bayer.shape[0] % 2 == 0 and bayer.shape[1] % 2 == 0, (
-      "image must be even size")
+  if bayer.ndim != 2:
+    raise ValueError(f"image must be mono bayer, got shape {bayer.shape}")
+  if bayer.shape[0] % 2 or bayer.shape[1] % 2:
+    raise ValueError(f"image must be even size, got {bayer.shape}")
   in_dtype = types.dtype_of(bayer)
   out_dtype = in_dtype if dtype is None else types.canonical_dtype(dtype)
   cc = None
@@ -568,7 +569,9 @@ def bayer_to_rgb_batch(bayer,
                        method: str = "mhc"):
   """Batched demosaic: (N, H, W) -> (N, H, W, 3). TPU-native extension used
   by the fused multi-camera ISP step."""
-  assert bayer.ndim == 3, "expected batch of mono bayer images"
+  if bayer.ndim != 3:
+    raise ValueError(
+        f"expected batch of mono bayer images, got shape {bayer.shape}")
   in_dtype = types.dtype_of(bayer)
   out_dtype = in_dtype if dtype is None else types.canonical_dtype(dtype)
   cc = None
@@ -594,5 +597,7 @@ def _rgb_to_bayer(image, pixel_order):
 def rgb_to_bayer(image, pattern: BayerPattern = BayerPattern.RGGB):
   """Mosaic an RGB image to a single-channel CFA by 2x2 phase sampling
   (reference bayer.py:101-112,193-198)."""
-  assert image.ndim == 3 and image.shape[2] == 3, "image must be RGB"
+  image = jnp.asarray(image)
+  if image.ndim != 3 or image.shape[2] != 3:
+    raise ValueError(f"image must be RGB (H, W, 3), got {image.shape}")
   return _rgb_to_bayer(jnp.asarray(image), pattern.pixel_order)

@@ -118,8 +118,9 @@ def encode12(values, scaled: bool = False, ids_format: bool = False):
   Reference packed.py:176-185.
   """
   shape = values.shape
-  assert shape[-1] % 2 == 0, (
-      f"last dimension must be even for 12-bit encoding got: {shape}")
+  if shape[-1] % 2:
+    raise ValueError(
+        f"last dimension must be even for 12-bit encoding got: {shape}")
   in_dtype = types.canonical_dtype(values.dtype)
   encoded = _encode12(jnp.asarray(values), scaled, ids_format, in_dtype)
   return encoded.reshape(shape[:-1] + (shape[-1] * 3 // 2,))
@@ -132,9 +133,11 @@ def decode12(values, dtype=types.u16, scaled: bool = False,
   Reference packed.py:188-198.
   """
   shape = values.shape
-  assert types.canonical_dtype(values.dtype) == types.u8
-  assert shape[-1] % 3 == 0, (
-      f"last dimension must be a factor of 3 for 12-bit decoding got: {shape}")
+  if types.canonical_dtype(values.dtype) != types.u8:
+    raise ValueError(f"packed buffer must be u8, got {values.dtype}")
+  if shape[-1] % 3:
+    raise ValueError(
+        f"last dimension must be a factor of 3 for 12-bit decoding got: {shape}")
   out_dtype = types.canonical_dtype(dtype)
   decoded = _decode12(jnp.asarray(values), scaled, ids_format, out_dtype)
   return decoded.reshape(shape[:-1] + (shape[-1] * 2 // 3,))
@@ -149,9 +152,11 @@ def decode16(values, dtype=types.u16, scaled: bool = False,
   """
   del ids_format
   shape = values.shape
-  assert types.canonical_dtype(values.dtype) == types.u8
-  assert shape[-1] % 2 == 0, (
-      f"last dimension must be a factor of 2 for 16-bit decoding got: {shape}")
+  if types.canonical_dtype(values.dtype) != types.u8:
+    raise ValueError(f"packed buffer must be u8, got {values.dtype}")
+  if shape[-1] % 2:
+    raise ValueError(
+        f"last dimension must be a factor of 2 for 16-bit decoding got: {shape}")
   out_dtype = types.canonical_dtype(dtype)
   decoded = _decode16(jnp.asarray(values), scaled, out_dtype)
   return decoded.reshape(shape[:-1] + (shape[-1] // 2,))
@@ -168,11 +173,15 @@ class PackedMono12:
 
   def __init__(self, packed, width: Optional[int] = None):
     packed = jnp.asarray(packed)
-    assert types.canonical_dtype(packed.dtype) == types.u8
+    if types.canonical_dtype(packed.dtype) != types.u8:
+      raise ValueError(f"packed buffer must be u8, got {packed.dtype}")
     if packed.ndim == 1:
-      assert width is not None, "width required for flat buffers"
+      if width is None:
+        raise ValueError("width required for flat buffers")
       packed = packed.reshape(-1, width * 3 // 2)
-    assert packed.ndim == 2 and packed.shape[1] % 3 == 0
+    if packed.ndim != 2 or packed.shape[1] % 3:
+      raise ValueError(
+          f"expected (rows, 3k-byte) packed buffer, got {packed.shape}")
     self.packed = packed
     self.shape = (packed.shape[0], packed.shape[1] * 2 // 3)
 

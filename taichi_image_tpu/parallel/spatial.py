@@ -85,7 +85,10 @@ def _demosaic_local(phases_local, pattern, cc, method, axis_name):
   weights = _demosaic_tables(pattern, method)
   padded = _exchange_row_halos(phases_local.astype(jnp.float32), axis_name)
 
-  assert hh_l >= 3, "row shards must have at least 3 half-res rows"
+  if hh_l < 3:
+    raise ValueError(
+        "row shards must have at least 3 half-res rows (got "
+        f"{hh_l}; use fewer row shards or larger frames)")
   full = weights.sum(axis=(1, 2, 3))
 
   from taichi_image_tpu.ops.pallas import demosaic as pallas_dm

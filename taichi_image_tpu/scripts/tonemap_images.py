@@ -22,7 +22,9 @@ from taichi_image_tpu.scripts.util import natsorted, progress, write_image
 def load_cfa(path: Path) -> np.ndarray:
   from PIL import Image
   arr = np.asarray(Image.open(str(path)))
-  assert arr.ndim == 2, f"expected mono CFA image, got shape {arr.shape}"
+  if arr.ndim != 2:
+    raise ValueError(f"expected mono CFA image, got shape {arr.shape}"
+                     f" in {path}")
   return arr
 
 

@@ -108,11 +108,11 @@ def test_batch_matches_single():
 
 
 def test_asserts():
-  with pytest.raises(AssertionError):
+  with pytest.raises(ValueError):
     bayer.bayer_to_rgb(np.zeros((5, 4), np.uint8))
-  with pytest.raises(AssertionError):
+  with pytest.raises(ValueError):
     bayer.bayer_to_rgb(np.zeros((4, 4, 3), np.uint8))
-  with pytest.raises(AssertionError):
+  with pytest.raises(ValueError):
     bayer.rgb_to_bayer(np.zeros((4, 4), np.uint8))
 
 

@@ -80,7 +80,7 @@ def test_scale_policy():
 
 
 def test_scale_and_width_mutually_exclusive():
-  with pytest.raises(AssertionError):
+  with pytest.raises(ValueError):
     Camera32(bayer.BayerPattern.RGGB, scale=0.5, resize_width=100)
 
 

@@ -103,11 +103,11 @@ def test_shape_handling(rng):
 
 
 def test_odd_shapes_rejected(rng):
-  with pytest.raises(AssertionError):
+  with pytest.raises(ValueError):
     packed.encode12(np.zeros(3, np.uint16))
-  with pytest.raises(AssertionError):
+  with pytest.raises(ValueError):
     packed.decode12(np.zeros(4, np.uint8))
-  with pytest.raises(AssertionError):
+  with pytest.raises(ValueError):
     packed.decode16(np.zeros(3, np.uint8))
 
 
