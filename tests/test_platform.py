@@ -67,3 +67,31 @@ def test_repair_pythonpath_from_empty(fake_axon_site, monkeypatch):
   monkeypatch.delenv("PYTHONPATH", raising=False)
   tplatform._repair_pythonpath()
   assert os.environ["PYTHONPATH"] == fake_axon_site
+
+
+def test_reexec_loop_bounded_subprocess(tmp_path):
+  """End-to-end re-exec loop: a pinned platform that never registers
+  drives ensure_backend_for_timing through its repair + bounded
+  re-exec path and a loud final failure (never a silent fallback)."""
+  import subprocess
+  import sys as _sys
+  site = tmp_path / "axon_site"
+  site.mkdir()
+  (site / "sitecustomize.py").write_text("")
+  script = tmp_path / "probe.py"
+  script.write_text(
+      "import sys\n"
+      f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+      "from taichi_image_tpu.utils.platform import ensure_backend_for_timing\n"
+      "ensure_backend_for_timing(max_reexec=2)\n")
+  env = dict(os.environ)
+  env["JAX_PLATFORMS"] = "no_such_platform"
+  env["TAICHI_AXON_SITE"] = str(site)
+  env["PYTHONPATH"] = "/definitely/not/the/site"
+  env.pop("TAICHI_PLATFORM_REEXEC", None)
+  r = subprocess.run([_sys.executable, str(script)], env=env,
+                     capture_output=True, text=True, timeout=180)
+  assert r.returncode != 0
+  assert r.stderr.count("registration failed; re-exec") == 2  # bounded retries
+  assert "gave up after 2 re-execs" in r.stderr  # loud failure
+  assert "NOT auto-selecting" in r.stderr        # no silent fallback
