@@ -68,18 +68,69 @@ class PlanarImage:
   ``resize_image``) accept and return these handles (phase-backed
   handles flow through the SAME phase-form pipeline as the fused step);
   raw HWC arrays are also accepted (converted on entry).
+
+  Handles can additionally be LAZY: the loaders capture the raw bytes +
+  the rig's loader configuration instead of dispatching a per-image
+  decode program. A later batch consumer (``tonemap_*``,
+  ``update_metering``) decodes the whole camera set in ONE program —
+  the reference's per-image call pattern (camera_isp.py:318-403) then
+  costs the same device work as the fused step instead of N separate
+  decode+demosaic programs. Forcing a lazy handle (``np.asarray``,
+  ``.planar``) decodes just that image; values are identical either way
+  (the batch axis only vectorizes the per-image math). Handles produced
+  by a batch consumer share the batch array (``_batch``) and slice out
+  their image only when individually forced.
   """
 
-  __slots__ = ("_planar", "_phases")
+  __slots__ = ("_planar", "_phases", "_lazy", "_batch")
 
-  def __init__(self, planar=None, phases=None):
-    if (planar is None) == (phases is None):
-      raise ValueError("exactly one of planar/phases")
+  def __init__(self, planar=None, phases=None, lazy=None, batch=None):
+    if sum(x is not None for x in (planar, phases, lazy, batch)) != 1:
+      raise ValueError("exactly one of planar/phases/lazy/batch")
     self._planar = planar
     self._phases = phases
+    self._lazy = lazy      # (raws1, fmt, ids_format, work_dtype,
+    #                         pattern, cc, resize_plan)
+    self._batch = batch    # (form, (N, ...) array, index)
+
+  def _force(self):
+    """Materialize device storage into _planar/_phases (idempotent)."""
+    if self._planar is None and self._phases is None:
+      if self._batch is not None:
+        form, arr, i = self._batch
+        if form == "phases":
+          self._phases = arr[i]
+        else:
+          self._planar = arr[i]
+        self._batch = None
+      else:
+        raws1, fmt, ids, wd, pattern, cc, plan = self._lazy
+        out = _jit_load_planar(raws1, fmt, ids, wd, pattern, cc, plan)
+        if plan is None:
+          self._phases = out[0]
+        else:
+          self._planar = out[0]
+        self._lazy = None
+    return self
 
   @property
   def shape(self):
+    if self._lazy is not None:  # computable without forcing
+      raws1, fmt, _, _, _, _, plan = self._lazy
+      if plan is not None:
+        (w_out, h_out), _ = plan
+        return (h_out, w_out, 3)
+      h, w_raw = raws1.shape[-2], raws1.shape[-1]
+      w = {"packed12": w_raw * 2 // 3,
+           "packed16": w_raw // 2}.get(fmt, w_raw)
+      return (h, w, 3)
+    if self._batch is not None:
+      form, arr, _ = self._batch
+      if form == "phases":
+        _, _, hh, wh = arr.shape
+        return (2 * hh, 2 * wh, 3)
+      _, c, h, w = arr.shape
+      return (h, w, c)
     if self._planar is not None:
       c, h, w = self._planar.shape
       return (h, w, c)
@@ -88,6 +139,10 @@ class PlanarImage:
 
   @property
   def dtype(self):
+    if self._lazy is not None:
+      return np.dtype(types.canonical_dtype(self._lazy[3]))
+    if self._batch is not None:
+      return self._batch[1].dtype
     a = self._planar if self._planar is not None else self._phases
     return a.dtype
 
@@ -96,11 +151,13 @@ class PlanarImage:
     """Device planar (C, H, W) view — interleaves phase-backed handles
     ON DEVICE (costly for 16-bit dtypes at 4K; prefer the numpy
     boundary or phase-form consumers)."""
+    self._force()
     if self._planar is None:
       return phases_to_planar(self._phases[None])[0]
     return self._planar
 
   def __array__(self, dtype=None, copy=None):
+    self._force()
     if self._planar is not None:
       a = np.moveaxis(np.asarray(self._planar), 0, -1)
     else:
@@ -115,12 +172,18 @@ class PlanarImage:
     return np.array(a, copy=True) if copy else a
 
   def block_until_ready(self):
+    self._force()
     (self._planar if self._planar is not None
      else self._phases).block_until_ready()
     return self
 
   def __repr__(self):
-    form = "planar" if self._planar is not None else "phases"
+    if self._lazy is not None:
+      form = "lazy"
+    elif self._batch is not None:
+      form = f"batch[{self._batch[2]}]/{self._batch[0]}"
+    else:
+      form = "planar" if self._planar is not None else "phases"
     return (f"PlanarImage(hwc_shape={self.shape}, dtype={self.dtype}, "
             f"form={form})")
 
@@ -343,6 +406,8 @@ class _ISPBase:
       return (image if isinstance(image, PlanarImage)
               else PlanarImage(_to_planar(image)))
     size, scale = plan
+    if isinstance(image, PlanarImage):
+      image._force()
     if isinstance(image, PlanarImage) and image._phases is not None:
       rgb, _ = _resize_x12(image._phases[None], size, scale,
                            self._work_dtype)
@@ -355,17 +420,80 @@ class _ISPBase:
     """One metering update over strided crops (reference
     camera_isp.py:168-175); functional — returns the new vec9 without
     consuming ``prev`` (the donating jit gets a fresh copy)."""
-    if (stride % 2 == 0 and images
-        and all(isinstance(im, PlanarImage) and im._phases is not None
-                for im in images)):
-      form, batch = "phases", jnp.stack([im._phases for im in images])
-    else:
-      form, batch = "planar", jnp.stack([_to_planar(im)
-                                         for im in images])
+    form, batch = self._batch_of(images, stride)
     prev = jnp.array(np.asarray(prev), jnp.float32)  # fresh buffer
     fn = (_jit_metering_phases if form == "phases"
           else _jit_metering_planar)
     return fn(batch, prev, jnp.float32(t), stride)
+
+  # -- batch assembly for the list APIs -------------------------------------
+
+  @staticmethod
+  def _lazy_key(images):
+    """Shared loader args when every image is an UNFORCED lazy handle of
+    the same raw shape and configuration, else None."""
+    if not images or not all(
+        isinstance(im, PlanarImage) and im._lazy is not None
+        and im._planar is None and im._phases is None for im in images):
+      return None
+    key = images[0]._lazy[1:]
+    shape = images[0]._lazy[0].shape
+    if all(im._lazy[1:] == key and im._lazy[0].shape == shape
+           for im in images):
+      return key
+    return None
+
+  @staticmethod
+  def _shared_batch(images):
+    """(form, batch) when the handles are exactly the slices of one
+    batch array in order (a previous batch consumer's output), else
+    None — avoids re-stacking 300 MB that is already stacked."""
+    if not images or not all(
+        isinstance(im, PlanarImage) and im._batch is not None
+        for im in images):
+      return None
+    form, arr, _ = images[0]._batch
+    if arr.shape[0] == len(images) and all(
+        im._batch[1] is arr and im._batch[0] == form
+        and im._batch[2] == i for i, im in enumerate(images)):
+      return form, arr
+    return None
+
+  def _batch_of(self, images: List, stride: int):
+    """Assemble a device batch from image handles/arrays:
+    ('phases', (N, 12, hh, wh)) when the phase fast path applies (even
+    metering stride), else ('planar', (N, C, H, W)).
+
+    Unforced lazy handles with identical loader configuration decode as
+    ONE batched program (and become shared-batch handles); handles that
+    already share a batch array are reused without re-stacking."""
+    key = self._lazy_key(images)
+    if key is not None:
+      raws = jnp.concatenate([im._lazy[0] for im in images])
+      out = _jit_load_planar(raws, *key)
+      form = "phases" if key[-1] is None else "planar"
+      for i, im in enumerate(images):
+        im._batch = (form, out, i)
+        im._lazy = None
+    else:
+      shared = self._shared_batch(images)
+      if shared is not None:
+        form, out = shared
+      else:
+        for im in images:
+          if isinstance(im, PlanarImage):
+            im._force()
+        if (images and all(isinstance(im, PlanarImage)
+                           and im._phases is not None for im in images)):
+          form, out = "phases", jnp.stack([im._phases for im in images])
+        else:
+          form, out = "planar", jnp.stack([_to_planar(im)
+                                           for im in images])
+    if form == "phases" and stride % 2 != 0:
+      # odd stride cannot use the phase metering identity; interleave
+      # once at the batch level
+      return "planar", phases_to_planar(out)
+    return form, out
 
   # -- loaders (single image, reference API) ------------------------------
   # All loaders run the planar phase core (decode -> demosaic+WB/CCM ->
@@ -377,22 +505,19 @@ class _ISPBase:
   # tonemap_* run the same phase pipeline as the fused step.
 
   def _load_one(self, raws1, fmt, ids_format=False):
+    """Loaders are LAZY: capture the raw + the rig's loader args (the
+    reference loaders' then-current configuration, camera_isp.py:318-373)
+    and decode on first use — which for the reference's actual call
+    pattern (load all cameras, then one tonemap_* over the list) is a
+    single batched program instead of N per-image programs."""
     plan = self._resize_plan_key(raws1, fmt)
-    out = _jit_load_planar(raws1, fmt, ids_format, self._work_dtype,
-                           self.bayer_pattern, self._cc_tuple(), plan)
-    if plan is None:
-      return PlanarImage(phases=out[0])
-    return PlanarImage(planar=out[0])
+    return PlanarImage(lazy=(raws1, fmt, ids_format, self._work_dtype,
+                             self.bayer_pattern, self._cc_tuple(), plan))
 
   def _stack_batch(self, images):
-    """-> ('phases', (N, 12, hh, wh)) when every image is phase-backed
-    and the metering stride is even (the fused-path condition), else
-    ('planar', (N, C, H, W))."""
-    if (self.metering_stride % 2 == 0 and images
-        and all(isinstance(im, PlanarImage) and im._phases is not None
-                for im in images)):
-      return "phases", jnp.stack([im._phases for im in images])
-    return "planar", jnp.stack([_to_planar(im) for im in images])
+    """-> ('phases', (N, 12, hh, wh)) when the phase fast path applies
+    (see :meth:`_batch_of`), else ('planar', (N, C, H, W))."""
+    return self._batch_of(images, self.metering_stride)
 
   def load_packed12(self, image_data, ids_format: bool = False):
     """Packed 12-bit plane -> working-dtype RGB (camera_isp.py:333-340)."""
@@ -459,6 +584,8 @@ class _ISPBase:
   def tonemap_only(self, image, metrics, gamma, intensity, light_adapt,
                    color_adapt):
     """Tonemap one image with explicit metrics (camera_isp.py:387-390)."""
+    if isinstance(image, PlanarImage):
+      image._force()
     if isinstance(image, PlanarImage) and image._phases is not None:
       out = _jit_reinhard_phases(
           image._phases[None], jnp.asarray(metrics), float(gamma),
@@ -478,6 +605,11 @@ class _ISPBase:
     (reference camera_isp.py:394-403). Phase/planar throughout (the
     bf16 working dtype rides the Pallas map kernel); returns
     :class:`PlanarImage` u8 handles."""
+    out = self._tonemap_fused_lazy(images, "reinhard", float(gamma),
+                                   float(intensity), float(light_adapt),
+                                   float(color_adapt))
+    if out is not None:
+      return out
     form, batch = self._stack_batch(images)
     self._update_metering_batch(form, batch)
     fn = (_jit_reinhard_phases if form == "phases"
@@ -489,12 +621,46 @@ class _ISPBase:
 
   def tonemap_linear(self, images: List, gamma: float = 1.0):
     """Reference camera_isp.py:405-413."""
+    out = self._tonemap_fused_lazy(images, "linear", float(gamma))
+    if out is not None:
+      return out
     form, batch = self._stack_batch(images)
     self._update_metering_batch(form, batch)
     fn = (_jit_linear_phases if form == "phases"
           else _jit_linear_planar)
     out = fn(batch, self.metrics, float(gamma), self.transform)
     return [PlanarImage(o) for o in out]
+
+  def _tonemap_fused_lazy(self, images, tonemap, gamma, intensity=1.0,
+                          light_adapt=1.0, color_adapt=0.0):
+    """Fused fast path for the reference call pattern: when every image
+    is an unforced lazy handle with identical loader configuration, the
+    composed load_* -> tonemap_* flow IS the fused step — decode ->
+    demosaic -> metering EMA -> tonemap -> transform in ONE program with
+    in-kernel metering samples (bitwise-equal to the staged strided
+    slice, asserted on chip), instead of N decode programs + a metering
+    program + a tonemap program. Returns None when the batch is mixed
+    (forced handles, raw arrays, differing configs) — the staged path
+    handles those. Loader args are the ones captured at load time,
+    matching the reference's eager-loader semantics under set()."""
+    key = self._lazy_key(images)
+    if key is None:
+      return None
+    fmt, ids, wd, pattern, cc, plan = key
+    raws = jnp.concatenate([im._lazy[0] for im in images])
+    if self.metrics is None:
+      prev, t = jnp.zeros(9, jnp.float32), 0.0
+    else:
+      prev, t = self.metrics, 1.0 - self.moving_alpha
+    step = (_jit_fused_step_checked if debug_util.debug_enabled()
+            else _jit_fused_step)
+    new_metrics, out = step(
+        raws, prev, jnp.float32(t), gamma, intensity, light_adapt,
+        color_adapt, fmt, ids, wd, pattern, cc, plan,
+        self.metering_stride, self.transform, tonemap)
+    self.metrics = new_metrics
+    return [PlanarImage(batch=("planar", out, i))
+            for i in range(len(images))]
 
   # -- fused TPU-native step ----------------------------------------------
 

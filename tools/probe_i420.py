@@ -100,6 +100,85 @@ def s_composed(raws):
           + jnp.sum(m))
 
 
+def _yuv_single(cast, max_out, gamma, concat_root):
+  """Single-fusion I420 from the FLAT map output: gamma finish + u8
+  quantization emulated in-register (clip -> u8 -> f32 round-trip:
+  bitwise the composed path's values) + both yuv chains, with no
+  materialized u8 RGB. ``concat_root=True`` roots everything at ONE
+  (n, 6, hh, wh) u8 concat so XLA must form a single fusion reading
+  the kernel output once."""
+  from taichi_image_tpu.ops import bayer as bayer_ops
+  from taichi_image_tpu.ops.color import _YUV_M, _YUV_OFFSET
+  m, off = _YUV_M, _YUV_OFFSET
+  mx = jnp.maximum(1e-6, max_out)
+  out = cast.astype(jnp.float32) / mx           # flat (n, 12, hh, wh)
+  if not (isinstance(gamma, float) and gamma == 1.0):
+    from taichi_image_tpu.models.camera_isp import _gamma_pow
+    out = _gamma_pow(out, 1.0 / gamma)
+  u8f = jnp.clip(255.0 * out, 0, 255).astype(jnp.uint8).astype(
+      jnp.float32)
+  x = u8f / 255.0
+  # channel slices on the MAJOR axis (stride there is not the lane trap)
+  r, g, b = x[:, 0::3], x[:, 1::3], x[:, 2::3]  # each (n, 4, hh, wh)
+  y_ph = jnp.minimum(1.0, m[0, 0] * b + m[0, 1] * g + m[0, 2] * r
+                     + off[0])
+  y12_u8 = jnp.clip(y_ph * 255.0, 0, 255).astype(jnp.uint8)
+  mb, mg, mr = (jnp.mean(b, axis=1), jnp.mean(g, axis=1),
+                jnp.mean(r, axis=1))
+  u = m[1, 0] * mb + m[1, 1] * mg + m[1, 2] * mr + off[1]
+  v = m[2, 0] * mb + m[2, 1] * mg + m[2, 2] * mr + off[2]
+  uv = jnp.minimum(1.0, jnp.stack([v, u], axis=1))
+  uv_u8 = jnp.clip(uv * 255.0, 0, 255).astype(jnp.uint8)
+  if concat_root:
+    big = jnp.concatenate([y12_u8, uv_u8], axis=1)  # (n, 6, hh, wh)
+    return bayer_ops.phases_to_plane(big[:, :4]), big[:, 4:6]
+  return bayer_ops.phases_to_plane(y12_u8), uv_u8
+
+
+def s_single_cat(raws):
+  m, cast, max_out = _front(raws)
+  y, uv = _yuv_single(cast, max_out, 1.0, True)
+  return (jnp.sum(y, dtype=jnp.float32) + jnp.sum(uv, dtype=jnp.float32)
+          + jnp.sum(m))
+
+
+def s_single_nocat(raws):
+  m, cast, max_out = _front(raws)
+  y, uv = _yuv_single(cast, max_out, 1.0, False)
+  return (jnp.sum(y, dtype=jnp.float32) + jnp.sum(uv, dtype=jnp.float32)
+          + jnp.sum(m))
+
+
+def _yuv_from_u8_cat(u8_12):
+  """Composed-u8 structure, but both yuv chains rooted at ONE
+  (n, 6, hh, wh) u8 concat so the materialized u8 RGB is read once."""
+  from taichi_image_tpu.ops import bayer as bayer_ops
+  from taichi_image_tpu.ops.color import _YUV_M, _YUV_OFFSET
+  m, off = _YUV_M, _YUV_OFFSET
+  n, _, hh, wh = u8_12.shape
+  x = u8_12.astype(jnp.float32) / 255.0
+  r, g, b = x[:, 0::3], x[:, 1::3], x[:, 2::3]
+  y_ph = jnp.minimum(1.0, m[0, 0] * b + m[0, 1] * g + m[0, 2] * r
+                     + off[0])
+  y12_u8 = jnp.clip(y_ph * 255.0, 0, 255).astype(jnp.uint8)
+  mb, mg, mr = (jnp.mean(b, axis=1), jnp.mean(g, axis=1),
+                jnp.mean(r, axis=1))
+  u = m[1, 0] * mb + m[1, 1] * mg + m[1, 2] * mr + off[1]
+  v = m[2, 0] * mb + m[2, 1] * mg + m[2, 2] * mr + off[2]
+  uv = jnp.minimum(1.0, jnp.stack([v, u], axis=1))
+  uv_u8 = jnp.clip(uv * 255.0, 0, 255).astype(jnp.uint8)
+  big = jnp.concatenate([y12_u8, uv_u8], axis=1)
+  return bayer_ops.phases_to_plane(big[:, :4]), big[:, 4:6]
+
+
+def s_composed_cat(raws):
+  m, cast, max_out = _front(raws)
+  u8 = reinhard_gamma_ca(cast, max_out, 1.0)
+  y, uv = _yuv_from_u8_cat(u8)
+  return (jnp.sum(y, dtype=jnp.float32) + jnp.sum(uv, dtype=jnp.float32)
+          + jnp.sum(m))
+
+
 def s_y_only(raws):
   m, cast, max_out = _front(raws)
   u8 = reinhard_gamma_ca(cast, max_out, 1.0)
@@ -146,9 +225,51 @@ def main():
   duv = int(np.abs(np.asarray(uva, np.int32) - np.asarray(uvb, np.int32)).max())
   print(f"values: max|dY|={dy} max|dUV|={duv}", flush=True)
 
+  # value check: single-fusion variants must match composed bitwise
+  cb_y, cb_uv = jax.jit(comp_small)(small)
+  def single_small(r):
+    ph = load_raw_phases(r, "packed12", WD)
+    x12, samp = demosaic_phases(ph, BayerPattern.RGGB,
+                                out_dtype=types.canonical_dtype(WD),
+                                sample_step=4)
+    mm = metering_update_ca(samp, jnp.zeros(9, jnp.float32),
+                            jnp.float32(0.9))
+    n, _, hh, wh = x12.shape
+    cast, max_out = reinhard_map_max_ca(
+        x12.reshape(n, 4, 3, hh, wh), mm, 1.0, 1.0, 0.0, WD)
+    return _yuv_single(cast, max_out, 1.0, True)
+  sb_y, sb_uv = jax.jit(single_small)(small)
+  dsy = int(np.abs(np.asarray(cb_y, np.int32)
+                   - np.asarray(sb_y, np.int32)).max())
+  dsuv = int(np.abs(np.asarray(cb_uv, np.int32)
+                    - np.asarray(sb_uv, np.int32)).max())
+  print(f"single vs composed: max|dY|={dsy} max|dUV|={dsuv}", flush=True)
+
+  def cat_small(r):
+    ph = load_raw_phases(r, "packed12", WD)
+    x12, samp = demosaic_phases(ph, BayerPattern.RGGB,
+                                out_dtype=types.canonical_dtype(WD),
+                                sample_step=4)
+    mm = metering_update_ca(samp, jnp.zeros(9, jnp.float32),
+                            jnp.float32(0.9))
+    n, _, hh, wh = x12.shape
+    cast, max_out = reinhard_map_max_ca(
+        x12.reshape(n, 4, 3, hh, wh), mm, 1.0, 1.0, 0.0, WD)
+    return _yuv_from_u8_cat(reinhard_gamma_ca(cast, max_out, 1.0))
+  ct_y, ct_uv = jax.jit(cat_small)(small)
+  dcy = int(np.abs(np.asarray(cb_y, np.int32)
+                   - np.asarray(ct_y, np.int32)).max())
+  dcuv = int(np.abs(np.asarray(cb_uv, np.int32)
+                    - np.asarray(ct_uv, np.int32)).max())
+  print(f"concat-root vs composed: max|dY|={dcy} max|dUV|={dcuv}",
+        flush=True)
+
   for name, fn in (("rgb anchor (g=1)", s_rgb),
-                   ("I420 current (barrier recompute)", s_current),
+                   ("I420 current (shipped)", s_current),
                    ("I420 composed u8 (r2 style)", s_composed),
+                   ("I420 composed u8 concat-root", s_composed_cat),
+                   ("I420 single-fusion concat", s_single_cat),
+                   ("I420 single-fusion 2-output", s_single_nocat),
                    ("Y plane only", s_y_only)):
     if want and not any(w.lower() in name.lower() for w in want):
       continue

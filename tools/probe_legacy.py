@@ -45,7 +45,11 @@ def bench_legacy(raws):
   isp = CameraBF16(BayerPattern.RGGB)
   # warmup / compile every program in the flow
   imgs = [isp.load_packed12(raws[c]) for c in range(N)]
-  _ = isp.tonemap_reinhard(imgs, gamma=0.9, intensity=3.0)
+  outs = isp.tonemap_reinhard(imgs, gamma=0.9, intensity=3.0)
+  # the lazy fused fast path must have fired: loader handles stayed
+  # lazy and the outputs share one batch array
+  assert all(im._lazy is not None for im in imgs), "lazy path not taken"
+  assert outs[0]._batch is not None, "fused fast path not taken"
   acc = jnp.int32(0)
   t0 = time.perf_counter()
   for i in range(ITERS):
@@ -70,13 +74,18 @@ def bench_fused(raws):
   return (time.perf_counter() - t0) / ITERS * 1000.0
 
 
-def bench_graph(raws, composed: bool):
+def bench_graph(raws, mode: str):
   """Chained-jit (tunnel-honest) measurement of the DEVICE work of the
-  two flows. The composed flow's stage boundaries are modeled with
-  optimization_barriers between the per-camera load outputs and the
-  batched tonemap (each barrier forces the planar image to materialize
-  in HBM exactly as a separate dispatch would); without them XLA would
-  fuse the stages back into the fused step and measure nothing."""
+  flows. ``staged`` models the eager composed flow (pre-lazy): stage
+  boundaries are modeled with optimization_barriers between the
+  per-camera load outputs and the batched tonemap (each barrier forces
+  the planar image to materialize in HBM exactly as a separate dispatch
+  would); without them XLA would fuse the stages back into the fused
+  step and measure nothing. ``lazy`` models what the composed API
+  executes since loaders went lazy: per-camera raws (separate arrays,
+  barriered) concatenated into one batch + the SAME fused step + the
+  six per-image output slices handles hand out."""
+  composed = mode == "staged"
   import time as _t
   from taichi_image_tpu import types
   from taichi_image_tpu.models.camera_isp import (
@@ -113,6 +122,23 @@ def bench_graph(raws, composed: bool):
                                   0.9, 3.0, 1.0, 0.0, types.bf16)
         out = bayer_ops.phases_to_planar(
             out12.reshape(n, 12, hh, wh))
+      elif mode == "lazy":
+        # model: separately-arriving per-camera raws (barriered) are
+        # concatenated into one batch feeding the SAME fused step. The
+        # per-image output slices the handles hand out are NOT modeled
+        # in-jit: multiple slice consumers of the fused output inside
+        # ONE jit make XLA recompute the producing interleave fusion
+        # per consumer (105-435 ms/set artifact — tools/
+        # probe_lazy_graph.py bisection); in the real flow each slice
+        # is its own ~25 MB copy program (<0.1 ms each), amortized in
+        # the wall-clock number below.
+        cams = [jax.lax.optimization_barrier(ri[c][None])
+                for c in range(N)]
+        batch = jnp.concatenate(cams)
+        m, out = fused_isp_step(
+            batch, m, jnp.float32(0.9), 0.9, 3.0, 1.0, 0.0, "packed12",
+            False, types.bf16, BayerPattern.RGGB, None, None, 8,
+            ImageTransform.none, "reinhard")
       else:
         m, out = fused_isp_step(
             ri, m, jnp.float32(0.9), 0.9, 3.0, 1.0, 0.0, "packed12",
@@ -134,11 +160,14 @@ def main():
   rng = np.random.default_rng(0)
   raws = jax.device_put(rng.integers(0, 256, size=(N, H, W * 3 // 2),
                                      dtype=np.uint8))
-  fused_g = bench_graph(raws, composed=False)
-  legacy_g = bench_graph(raws, composed=True)
+  fused_g = bench_graph(raws, mode="fused")
+  lazy_g = bench_graph(raws, mode="lazy")
+  legacy_g = bench_graph(raws, mode="staged")
   print(f"device work, chained-jit harness (the honest compute cost):")
-  print(f"  fused step graph:             {fused_g:7.2f} ms/set")
-  print(f"  composed graph (barriered):   {legacy_g:7.2f} ms/set "
+  print(f"  fused step graph:               {fused_g:7.2f} ms/set")
+  print(f"  lazy composed graph (current):  {lazy_g:7.2f} ms/set "
+        f"({lazy_g / fused_g:.2f}x fused)")
+  print(f"  staged graph (pre-lazy, barriered): {legacy_g:7.2f} ms/set "
         f"({legacy_g / fused_g:.2f}x fused)")
   fused = min(bench_fused(raws) for _ in range(3))
   legacy = min(bench_legacy(raws) for _ in range(3))
