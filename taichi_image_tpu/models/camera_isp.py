@@ -1313,7 +1313,57 @@ def yuv420_from_planar_u8(out):
   return y_u8, uv_u8
 
 
-def yuv420_from_phases_u8(out12):
+def _yuv420_w6():
+  """(6, 12) channel-contraction matrix turning the whole I420
+  conversion into ONE dot over the u8 phase channels: rows 0-3 = Y of
+  phase p (BT.601 row 0 on that phase's channel-reversed BGR), rows
+  4-5 = V, U of the phase mean (rows 2, 1 with each coefficient /4 —
+  the 2x2 chroma block mean IS the phase mean, and the matrix is
+  linear, so mean-then-matrix == matrix-then-mean up to rounding).
+  Channel layout: 12 = 4 phases x 3 (r, g, b)."""
+  from taichi_image_tpu.ops.color import _YUV_M
+  w = np.zeros((6, 12), np.float32)
+  for p in range(4):
+    w[p, 3 * p + 2] = float(_YUV_M[0, 0])   # b
+    w[p, 3 * p + 1] = float(_YUV_M[0, 1])   # g
+    w[p, 3 * p + 0] = float(_YUV_M[0, 2])   # r
+  for row, mrow in ((4, 2), (5, 1)):        # V-then-U plane order quirk
+    for p in range(4):
+      w[row, 3 * p + 2] = float(_YUV_M[mrow, 0]) / 4.0
+      w[row, 3 * p + 1] = float(_YUV_M[mrow, 1]) / 4.0
+      w[row, 3 * p + 0] = float(_YUV_M[mrow, 2]) / 4.0
+  return w
+
+
+def _yuv420_phases_dot_bf16(out12):
+  """I420 from u8 phase-RGB as ONE bf16 MXU channel contraction.
+
+  The two-chain formulation pays XLA's ~90 GB/s elementwise wall TWICE
+  on the full-res u8 read (Y chain +1.65 ms, UV chain +2.13 at 6x4K —
+  tools/probe_i420.py sub-stage attribution); rooting both at a single
+  (6, 12) dot reads the u8 once and rides the MXU: the I420 marginal
+  drops +3.1 -> +0.93 ms. u8 -> bf16 is exact (ints <= 255) and the
+  dot accumulates in f32; the bf16-rounded matrix coefficients perturb
+  results by <= ~0.4 of a count before quantization, so Y/UV can differ
+  from the f32 two-chain values by 1 count at truncation boundaries —
+  within the pipeline's <=1-count contract. bf16 pipeline only (the
+  same policy as the Pallas resize kernel: a bf16 dot would LOSE
+  precision for the f32-parity pipelines)."""
+  from taichi_image_tpu.ops.color import _YUV_OFFSET
+  n, _, hh, wh = out12.shape
+  w = jnp.asarray(_yuv420_w6(), jnp.bfloat16)
+  x = out12.astype(jnp.bfloat16)  # 0..255 ints, exact in bf16
+  yuv6 = jnp.einsum("nchw,dc->ndhw", x, w,
+                    preferred_element_type=jnp.float32) / 255.0
+  off = jnp.asarray([float(_YUV_OFFSET[0])] * 4
+                    + [float(_YUV_OFFSET[2]), float(_YUV_OFFSET[1])],
+                    jnp.float32)
+  yuv6 = jnp.minimum(1.0, yuv6 + off[None, :, None, None])
+  u8_6 = jnp.clip(yuv6 * 255.0, 0, 255).astype(jnp.uint8)
+  return bayer_ops.phases_to_plane(u8_6[:, :4]), u8_6[:, 4:6]
+
+
+def yuv420_from_phases_u8(out12, mxu: bool = False):
   """Tonemapped u8 phase-RGB (N, 12, hh, wh) -> planar I420 u8:
   (Y (N, H, W), UV (N, 2, hh, wh)).
 
@@ -1323,12 +1373,16 @@ def yuv420_from_phases_u8(out12):
   block mean is exactly the mean over the four Bayer phases — in phase
   form the subsampling is free.
 
-  The u8 phase array is deliberately a two-consumer value (one 1-byte
-  materialization read by both chains). A barrier-recompute variant
-  that re-ran the gamma finish inside each chain from the bf16 map
-  output was raced same-run and lost by ~1 ms at 6x4K
-  (tools/probe_i420.py) — two full-res bf16 reads + converts cost more
-  than one u8 write + two u8 reads."""
+  ``mxu=True`` (bf16 pipeline) routes through the single-dot MXU
+  formulation (:func:`_yuv420_phases_dot_bf16`, <=1 count vs the f32
+  chains). The f32 two-chain path below: the u8 phase array is
+  deliberately a two-consumer value (one 1-byte materialization read by
+  both chains). A barrier-recompute variant that re-ran the gamma
+  finish inside each chain from the bf16 map output was raced same-run
+  and lost by ~1 ms at 6x4K (tools/probe_i420.py) — two full-res bf16
+  reads + converts cost more than one u8 write + two u8 reads."""
+  if mxu:
+    return _yuv420_phases_dot_bf16(out12)
   u8_y12 = u8_uv12 = out12
   from taichi_image_tpu.ops.color import _YUV_M, _YUV_OFFSET
   n, _, hh, wh = u8_y12.shape
@@ -1470,7 +1524,8 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
         # 10.21 vs barrier 11.21, anchor 7.26).
         u8_12 = _transform_phases(out12.reshape(n, 12, hh, wh),
                                   transform)
-        return new_metrics, yuv420_from_phases_u8(u8_12)
+        return new_metrics, yuv420_from_phases_u8(
+            u8_12, mxu=types.canonical_dtype(work_dtype) == types.bf16)
     elif tonemap == "linear":
       out12 = linear_apply_ca(x12.reshape(n, 4, 3, hh, wh), new_metrics,
                               gamma)
@@ -1479,7 +1534,8 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
         # convert from phase form, no interleaved intermediate
         u8_12 = _transform_phases(out12.reshape(n, 12, hh, wh),
                                   transform)
-        return new_metrics, yuv420_from_phases_u8(u8_12)
+        return new_metrics, yuv420_from_phases_u8(
+            u8_12, mxu=types.canonical_dtype(work_dtype) == types.bf16)
     else:
       raise ValueError(f"unknown tonemap {tonemap}")
     # transform in phase space (see _transform_phases) then interleave

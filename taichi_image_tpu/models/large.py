@@ -167,9 +167,10 @@ def _band_reinhard_map(x, metrics, intensity, light_adapt, color_adapt,
          donate_argnums=(0,))
 def _band_reinhard_gamma(p_cast, max_out, gamma, color_format):
   n, q, hb, wh = p_cast.shape[0], 12, p_cast.shape[-2], p_cast.shape[-1]
+  mxu = p_cast.dtype == jnp.bfloat16  # same gate as the unbanded step
   out12 = reinhard_gamma_ca(p_cast, max_out, gamma).reshape(n, q, hb, wh)
   if color_format == "yuv420":
-    return yuv420_from_phases_u8(out12)
+    return yuv420_from_phases_u8(out12, mxu=mxu)
   return phases_to_planar(out12)
 
 
@@ -209,10 +210,11 @@ def _jit_yuv_assembled(out):
          donate_argnums=(0,))
 def _band_linear(x12, metrics, gamma, color_format):
   n, q, hb, wh = x12.shape
+  mxu = x12.dtype == jnp.bfloat16  # same gate as the unbanded step
   out12 = linear_apply_ca(x12.reshape(n, 4, 3, hb, wh),
                           metrics, gamma).reshape(n, q, hb, wh)
   if color_format == "yuv420":
-    return yuv420_from_phases_u8(out12)
+    return yuv420_from_phases_u8(out12, mxu=mxu)
   return phases_to_planar(out12)
 
 

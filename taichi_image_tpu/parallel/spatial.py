@@ -29,7 +29,9 @@ from taichi_image_tpu.models.camera_isp import (_plan_scales,
                                                 _transform_planar,
                                                 linear_apply_ca,
                                                 metering_update_ca,
-                                                reinhard_apply_ca)
+                                                reinhard_apply_ca,
+                                                yuv420_from_phases_u8,
+                                                yuv420_from_planar_u8)
 from taichi_image_tpu.ops import bayer as bayer_ops
 from taichi_image_tpu.ops.bayer import (_demosaic_tables,
                                         edge_renorm_factor,
@@ -205,6 +207,7 @@ def make_spatial_isp_step(mesh: Mesh, *, fmt: str = "packed12",
                           n_cameras: int, image_hw,
                           resize_plan=None,
                           transform: ImageTransform = ImageTransform.none,
+                          color_format: str = "rgb",
                           axis_name: str = ROW_AXIS):
   """Whole-rig fused step with each frame's ROWS sharded across chips.
 
@@ -222,8 +225,20 @@ def make_spatial_isp_step(mesh: Mesh, *, fmt: str = "packed12",
   ``transform`` != none is applied OUTSIDE the shard_map on the sharded
   output — GSPMD repartitions the permuted array (collectives over ICI)
   rather than hand-reversing shard order.
+
+  ``color_format='yuv420'`` returns planar I420 ``(Y (N, H', W') row-
+  sharded, UV (N, 2, H'/2, W'/2) row-sharded)`` instead. The 2x2 chroma
+  blocks never cross a shard boundary (rows-per-shard % 8 == 0), so with
+  ``transform == none`` the conversion runs shard-local inside the
+  shard_map (phase form, no interleaved RGB); with a transform it
+  recomposes outside on the transformed planar output, matching the
+  unsharded step's semantics (camera_isp.fused_isp_step).
   """
   h, w = image_hw
+  if color_format not in ("rgb", "yuv420"):
+    raise ValueError(f"unknown color_format {color_format!r}")
+  local_yuv = (color_format == "yuv420"
+               and transform == ImageTransform.none)
   n_shards = np.prod([mesh.shape[a] for a in
                       ([axis_name] if isinstance(axis_name, str)
                        else axis_name)])
@@ -244,23 +259,33 @@ def make_spatial_isp_step(mesh: Mesh, *, fmt: str = "packed12",
       fmt, ids_format, work_dtype, pattern, cc, stride, tonemap, n_total,
       None if resize_plan is None else (size, syx, hol, halo_lo, halo_hi,
                                         h),
-      meter_axes=axis_name, row_axis=axis_name)
+      meter_axes=axis_name, row_axis=axis_name,
+      color_format="yuv420" if local_yuv else "rgb")
 
+  if local_yuv:
+    out_spec = (P(None, axis_name, None),
+                P(None, None, axis_name, None))
+  else:
+    out_spec = P(None, None, axis_name, None)
   sharded = jax.shard_map(
       local_step, mesh=mesh,
       in_specs=(P(None, axis_name), P(), P(), P(), P(), P(), P()),
-      out_specs=(P(), P(None, None, axis_name, None)),
+      out_specs=(P(), out_spec),
       check_vma=False)
-  return _with_transform(jax.jit(sharded, donate_argnums=(1,)),
-                         transform)
+  return _finish_output(jax.jit(sharded, donate_argnums=(1,)),
+                        transform,
+                        to_yuv=(color_format == "yuv420"
+                                and not local_yuv))
 
 
 def _build_local_step(fmt, ids_format, work_dtype, pattern, cc, stride,
                       tonemap, n_total, resize_cfg, meter_axes,
-                      row_axis):
+                      row_axis, color_format="rgb"):
   """Shared shard-local step body for the 1-D row and 2-D cam x rows
   factories. ``resize_cfg`` = (size, (sy, sx), h_out_local, halo_lo,
-  halo_hi, full_h) or None."""
+  halo_hi, full_h) or None. ``color_format='yuv420'`` converts shard-
+  locally (legal because 2x2 chroma blocks never straddle shards)."""
+  mxu = types.canonical_dtype(work_dtype) == types.bf16
 
   def local_step(raws, prev, t, gamma, intensity, light_adapt,
                  color_adapt):
@@ -286,6 +311,8 @@ def _build_local_step(fmt, ids_format, work_dtype, pattern, cc, stride,
                                 axis_name=row_axis)
       else:
         out = linear_apply_ca(rgb, metrics, gamma)
+      if color_format == "yuv420":
+        return metrics, yuv420_from_planar_u8(out)
       return metrics, out
     strided = bayer_ops.subsample_hw(x12[:, 0:3], stride // 2,
                                      stride // 2)
@@ -299,28 +326,36 @@ def _build_local_step(fmt, ids_format, work_dtype, pattern, cc, stride,
     else:
       out12 = linear_apply_ca(x12.reshape(n, 4, 3, hh_l, wh), metrics,
                               gamma)
+    if color_format == "yuv420":
+      return metrics, yuv420_from_phases_u8(
+          out12.reshape(n, 12, hh_l, wh), mxu=mxu)
     out = phases_to_planar(out12.reshape(n, 12, hh_l, wh))
     return metrics, out
 
   return local_step
 
 
-def _with_transform(jitted, transform: ImageTransform):
-  """Wrap a sharded step with the output transform applied OUTSIDE the
-  shard_map: GSPMD repartitions the permuted array (collectives over
-  ICI on hardware) instead of hand-reversing shard order."""
-  if transform == ImageTransform.none:
+def _finish_output(jitted, transform: ImageTransform, to_yuv=False):
+  """Wrap a sharded step with the output transform (and, when the
+  transform blocks shard-local conversion, the I420 conversion) applied
+  OUTSIDE the shard_map: GSPMD repartitions the permuted array
+  (collectives over ICI on hardware) instead of hand-reversing shard
+  order."""
+  if transform == ImageTransform.none and not to_yuv:
     return jitted
 
-  transform_jit = jax.jit(partial(_transform_planar, t=transform))
+  @jax.jit
+  def finish(out):
+    out = _transform_planar(out, transform)
+    return yuv420_from_planar_u8(out) if to_yuv else out
 
-  def step_with_transform(raws, prev, t, gamma, intensity, light_adapt,
-                          color_adapt):
+  def step_with_finish(raws, prev, t, gamma, intensity, light_adapt,
+                       color_adapt):
     metrics, out = jitted(raws, prev, t, gamma, intensity, light_adapt,
                           color_adapt)
-    return metrics, transform_jit(out)
+    return metrics, finish(out)
 
-  return step_with_transform
+  return step_with_finish
 
 def make_grid_isp_step(mesh: Mesh, *, fmt: str = "packed12",
                        ids_format: bool = False, work_dtype,
@@ -329,13 +364,14 @@ def make_grid_isp_step(mesh: Mesh, *, fmt: str = "packed12",
                        n_cameras: int, image_hw,
                        resize_plan=None,
                        transform: ImageTransform = ImageTransform.none,
+                       color_format: str = "rgb",
                        cam_axis: str = "cam",
                        row_axis: str = ROW_AXIS):
   """Whole-rig fused step over a 2-D mesh: cameras on one axis (data
   parallel) x image rows on the other (spatial parallel with halo
   exchange). The metering collectives reduce over BOTH axes; the
   Reinhard per-image max reduces over the row axis only.
-  ``resize_plan``/``transform`` compose as in
+  ``resize_plan``/``transform``/``color_format`` compose as in
   :func:`make_spatial_isp_step`.
 
   step(raws, prev, t, gamma, intensity, light_adapt, color_adapt)
@@ -343,6 +379,10 @@ def make_grid_isp_step(mesh: Mesh, *, fmt: str = "packed12",
        rows=H axis))
   """
   h, w = image_hw
+  if color_format not in ("rgb", "yuv420"):
+    raise ValueError(f"unknown color_format {color_format!r}")
+  local_yuv = (color_format == "yuv420"
+               and transform == ImageTransform.none)
   n_row_shards = mesh.shape[row_axis]
   if (h // n_row_shards) % 8 != 0:
     raise ValueError(
@@ -359,12 +399,20 @@ def make_grid_isp_step(mesh: Mesh, *, fmt: str = "packed12",
 
   local_step = _build_local_step(
       fmt, ids_format, work_dtype, pattern, cc, stride, tonemap, n_total,
-      resize_cfg, meter_axes=(cam_axis, row_axis), row_axis=row_axis)
+      resize_cfg, meter_axes=(cam_axis, row_axis), row_axis=row_axis,
+      color_format="yuv420" if local_yuv else "rgb")
 
+  if local_yuv:
+    out_spec = (P(cam_axis, row_axis, None),
+                P(cam_axis, None, row_axis, None))
+  else:
+    out_spec = P(cam_axis, None, row_axis, None)
   sharded = jax.shard_map(
       local_step, mesh=mesh,
       in_specs=(P(cam_axis, row_axis), P(), P(), P(), P(), P(), P()),
-      out_specs=(P(), P(cam_axis, None, row_axis, None)),
+      out_specs=(P(), out_spec),
       check_vma=False)
-  return _with_transform(jax.jit(sharded, donate_argnums=(1,)),
-                         transform)
+  return _finish_output(jax.jit(sharded, donate_argnums=(1,)),
+                        transform,
+                        to_yuv=(color_format == "yuv420"
+                                and not local_yuv))

@@ -426,6 +426,42 @@ def test_fused_yuv420_output():
                   - want_uv.astype(int)).max() <= 1
 
 
+def test_fused_yuv420_bf16_mxu_path():
+  """The bf16 pipeline's I420 rides the single-dot MXU formulation
+  (yuv420_from_phases_u8 mxu=True); values must stay within 1 count of
+  the f32 two-chain formulation on the same u8 RGB, and within 1 count
+  of the yuv420(rgb_output) oracle."""
+  import jax
+  import jax.numpy as jnp
+  from taichi_image_tpu.models.camera_isp import (
+      CameraBF16, _yuv420_phases_dot_bf16, yuv420_from_phases_u8)
+  from taichi_image_tpu.ops import color
+  raw, _ = load_test_image(64, 96)
+  raws = np.stack([raw, raw])
+
+  fused = CameraBF16(bayer.BayerPattern.RGGB, moving_alpha=0.2)
+  y, uv = fused.process(raws, gamma=0.8, color_format="yuv420")
+  ref = CameraBF16(bayer.BayerPattern.RGGB, moving_alpha=0.2)
+  rgb = ref.process(raws, gamma=0.8, layout="hwc")
+  for i in range(2):
+    want = np.asarray(color.rgb_yuv420_image(rgb[i]))
+    assert np.abs(np.asarray(y[i]).astype(int)
+                  - want[:64].astype(int)).max() <= 1
+    assert np.abs(np.asarray(uv[i]).astype(int)
+                  - want[64:].reshape(2, 32, 48).astype(int)).max() <= 1
+
+  # dot formulation vs f32 two-chain on the same u8 phases
+  rng = np.random.default_rng(7)
+  u8_12 = jnp.asarray(rng.integers(0, 256, size=(2, 12, 16, 24),
+                                   dtype=np.uint8))
+  dy, duv = jax.jit(_yuv420_phases_dot_bf16)(u8_12)
+  cy, cuv = jax.jit(lambda x: yuv420_from_phases_u8(x, mxu=False))(u8_12)
+  assert np.abs(np.asarray(dy).astype(int)
+                - np.asarray(cy).astype(int)).max() <= 1
+  assert np.abs(np.asarray(duv).astype(int)
+                - np.asarray(cuv).astype(int)).max() <= 1
+
+
 @pytest.mark.parametrize("transform", [ImageTransform.rotate_90,
                                        ImageTransform.flip_vert])
 def test_fused_yuv420_composes_with_transform(transform):

@@ -309,3 +309,143 @@ def test_spatial_shape_fuzz():
     assert d.max() <= 1, (trial, d.max())
     np.testing.assert_allclose(np.asarray(m), np.asarray(ref.metrics),
                                atol=1e-5)
+
+
+def _encode_rig(h, w, n_cam):
+  raws = []
+  for s in range(n_cam):
+    img = make_test_rgb(h, w, seed=s)
+    cfa = rgb_to_bayer_oracle(img, "RGGB")
+    raws.append(np.asarray(packed.encode12(cfa, scaled=True)))
+  return np.stack(raws)
+
+
+def _i420_diff(got, want):
+  gy, guv = got
+  wy, wuv = want
+  return max(np.abs(np.asarray(gy).astype(int)
+                    - np.asarray(wy).astype(int)).max(),
+             np.abs(np.asarray(guv).astype(int)
+                    - np.asarray(wuv).astype(int)).max())
+
+
+@pytest.mark.parametrize("work", [types.f32, types.bf16])
+def test_spatial_step_yuv420(work):
+  """Shard-local I420 conversion (2x2 chroma blocks never straddle a
+  row-shard boundary) equals the unsharded fused yuv420 step."""
+  from taichi_image_tpu.models.camera_isp import camera_isp
+  h, w = 64, 96
+  raws = _encode_rig(h, w, 2)
+
+  cls = camera_isp(f"SpYuv_{np.dtype(work).name}", work)
+  ref = cls(bayer.BayerPattern.RGGB, moving_alpha=0.2)
+  ref_out = ref.process(raws, gamma=0.8, intensity=2.0,
+                        color_format="yuv420")
+
+  mesh = _mesh(4)
+  step = spatial.make_spatial_isp_step(
+      mesh, work_dtype=work, pattern=bayer.BayerPattern.RGGB,
+      n_cameras=2, image_hw=(h, w), color_format="yuv420")
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  raws_s = jax.device_put(jnp.asarray(raws),
+                          NamedSharding(mesh, P(None, spatial.ROW_AXIS)))
+  prev = jax.device_put(jnp.zeros(9, jnp.float32), NamedSharding(mesh, P()))
+  metrics, out = step(raws_s, prev, jnp.float32(0.0), jnp.float32(0.8),
+                      jnp.float32(2.0), jnp.float32(1.0), jnp.float32(0.0))
+  y, uv = out
+  assert np.asarray(y).shape == (2, h, w)
+  assert np.asarray(uv).shape == (2, 2, h // 2, w // 2)
+  np.testing.assert_allclose(np.asarray(metrics), np.asarray(ref.metrics),
+                             atol=1e-5)
+  assert _i420_diff(out, ref_out) <= 1
+
+
+def test_spatial_step_yuv420_with_transform():
+  """Transform + I420: conversion recomposes OUTSIDE the shard_map on
+  the transformed planar output (unsharded-step semantics)."""
+  from taichi_image_tpu.ops.interpolate import ImageTransform
+  h, w = 64, 96
+  raws = _encode_rig(h, w, 2)
+
+  ref = Camera32(bayer.BayerPattern.RGGB,
+                 transform=ImageTransform.rotate_90)
+  ref_out = ref.process(raws, gamma=0.8, color_format="yuv420")
+
+  mesh = _mesh(4)
+  step = spatial.make_spatial_isp_step(
+      mesh, work_dtype=types.f32, pattern=bayer.BayerPattern.RGGB,
+      n_cameras=2, image_hw=(h, w), transform=ImageTransform.rotate_90,
+      color_format="yuv420")
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  raws_s = jax.device_put(jnp.asarray(raws),
+                          NamedSharding(mesh, P(None, spatial.ROW_AXIS)))
+  prev = jax.device_put(jnp.zeros(9, jnp.float32), NamedSharding(mesh, P()))
+  _, out = step(raws_s, prev, jnp.float32(0.0), jnp.float32(0.8),
+                jnp.float32(1.0), jnp.float32(1.0), jnp.float32(0.0))
+  y, uv = out
+  assert np.asarray(y).shape == (2, w, h)  # rotated
+  assert _i420_diff(out, ref_out) <= 1
+
+
+def test_spatial_step_yuv420_with_resize():
+  """In-step resize + shard-local I420 conversion on the resized shard."""
+  h, w = 64, 96
+  raws = _encode_rig(h, w, 2)
+
+  ref = Camera32(bayer.BayerPattern.RGGB, scale=0.5)
+  ref_out = ref.process(raws, gamma=0.8, color_format="yuv420")
+
+  mesh = _mesh(2)
+  step = spatial.make_spatial_isp_step(
+      mesh, work_dtype=types.f32, pattern=bayer.BayerPattern.RGGB,
+      n_cameras=2, image_hw=(h, w), resize_plan=((48, 32), 0.5),
+      color_format="yuv420")
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  raws_s = jax.device_put(jnp.asarray(raws),
+                          NamedSharding(mesh, P(None, spatial.ROW_AXIS)))
+  prev = jax.device_put(jnp.zeros(9, jnp.float32), NamedSharding(mesh, P()))
+  _, out = step(raws_s, prev, jnp.float32(0.0), jnp.float32(0.8),
+                jnp.float32(1.0), jnp.float32(1.0), jnp.float32(0.0))
+  y, uv = out
+  assert np.asarray(y).shape == (2, 32, 48)
+  assert np.asarray(uv).shape == (2, 2, 16, 24)
+  assert _i420_diff(out, ref_out) <= 1
+
+
+def test_grid_step_yuv420():
+  """2-D cam x rows mesh with shard-local I420 output."""
+  h, w = 64, 96
+  raws = _encode_rig(h, w, 4)
+
+  ref = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.2)
+  ref_out = ref.process(raws, gamma=0.8, intensity=2.0,
+                        color_format="yuv420")
+
+  devs = np.array(jax.devices()[:8]).reshape(2, 4)
+  mesh = Mesh(devs, ("cam", spatial.ROW_AXIS))
+  step = spatial.make_grid_isp_step(
+      mesh, work_dtype=types.f32, pattern=bayer.BayerPattern.RGGB,
+      n_cameras=4, image_hw=(h, w), color_format="yuv420")
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  raws_s = jax.device_put(jnp.asarray(raws),
+                          NamedSharding(mesh, P("cam", spatial.ROW_AXIS)))
+  prev = jax.device_put(jnp.zeros(9, jnp.float32), NamedSharding(mesh, P()))
+  metrics, out = step(raws_s, prev, jnp.float32(0.0), jnp.float32(0.8),
+                      jnp.float32(2.0), jnp.float32(1.0), jnp.float32(0.0))
+  np.testing.assert_allclose(np.asarray(metrics), np.asarray(ref.metrics),
+                             atol=1e-5)
+  assert _i420_diff(out, ref_out) <= 1
+
+
+def test_spatial_bad_color_format_raises():
+  mesh = _mesh(2)
+  with pytest.raises(ValueError, match="color_format"):
+    spatial.make_spatial_isp_step(
+        mesh, work_dtype=types.f32, pattern=bayer.BayerPattern.RGGB,
+        n_cameras=1, image_hw=(64, 96), color_format="nv12")
+  with pytest.raises(ValueError, match="color_format"):
+    spatial.make_grid_isp_step(
+        Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+             ("cam", spatial.ROW_AXIS)),
+        work_dtype=types.f32, pattern=bayer.BayerPattern.RGGB,
+        n_cameras=2, image_hw=(64, 96), color_format="nv12")

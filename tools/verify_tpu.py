@@ -255,6 +255,24 @@ def main():
     record("fused_step_no_fullres_f32_entry_op", False,
            f"{type(e).__name__}: {str(e)[:90]}")
 
+  # 8c. I420 single-dot MXU formulation (round 3): the bf16 pipeline's
+  #     yuv420 conversion is ONE (6,12) channel contraction over the u8
+  #     phases (u8->bf16 exact, f32 accumulation). Contract: <=1 u8
+  #     count vs the f32 two-chain formulation ON CHIP (bf16-rounded
+  #     matrix coefficients perturb by <= ~0.4 count pre-quantization).
+  from taichi_image_tpu.models.camera_isp import yuv420_from_phases_u8
+  u8_12 = jax.device_put(rng.integers(0, 256, size=(2, 12, 256, 384),
+                                      dtype=np.uint8))
+  my, muv = jax.jit(functools.partial(yuv420_from_phases_u8,
+                                      mxu=True))(u8_12)
+  cy, cuv = jax.jit(functools.partial(yuv420_from_phases_u8,
+                                      mxu=False))(u8_12)
+  dy = int(np.abs(np.asarray(my, np.int32) - np.asarray(cy, np.int32)).max())
+  duv = int(np.abs(np.asarray(muv, np.int32)
+                   - np.asarray(cuv, np.int32)).max())
+  record("i420_mxu_dot_vs_twochain_onchip", dy <= 1 and duv <= 1,
+         f"u8 max|dY|={dy} max|dUV|={duv}")
+
   # 9. CLI end-to-end ON the chip (tonemap_scan → JPEG grid) — the
   #    committed on-TPU CLI verification artifact (round-2 VERDICT weak
   #    #7: the CPU-only test_scripts.py run was the only CLI evidence).
