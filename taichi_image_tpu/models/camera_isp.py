@@ -1067,6 +1067,31 @@ def reinhard_map_max_ca(x, metrics, intensity, light_adapt,
           max_out.reshape(x.shape[0], 1, 1, 1))
 
 
+def demosaic_reinhard_front(phases, metrics, intensity, light_adapt,
+                            pattern, cc):
+  """Front-fused demosaic + Reinhard map (bf16 pipeline): one Pallas
+  pass from phase planes to the pre-gamma ``p`` — the composed
+  stencil→x12→map-kernel chain pays a full-res x12 HBM round trip
+  (~600 MB/step at 6x4K) that this skips. Requires ``metrics`` computed
+  beforehand (from ops/bayer.demosaic_samples — the kernel's own sample
+  emission would be circular). Returns ``(p bf16 (n, 12, hh, wh),
+  max_out (n, 1, 1, 1))``, drop-in for reinhard_map_max_ca's contract
+  (values: same quantize-then-map ordering, exp2/log2 pow — <=1 u8
+  count vs the composed path, bitwise-checked on chip)."""
+  from taichi_image_tpu.ops.pallas import demosaic as pallas_dm
+  from taichi_image_tpu.ops.pallas.reinhard import reinhard_scal
+  n, _, hh, wh = phases.shape
+  weights = bayer_ops._demosaic_tables(pattern, "mhc")
+  in_bf16 = phases.dtype == jnp.bfloat16
+  ph_in = phases if in_bf16 else phases.astype(jnp.float32)
+  fin = bayer_ops._stencil_finish_spec(weights, hh, wh, cc, jnp.bfloat16)
+  tiles = pallas_dm.tiling_for(hh, wh, in_bf16=in_bf16, out_bf16=True,
+                               extra_f32_tmp=pallas_dm._TONEMAP_TMPS)
+  scal = reinhard_scal(metrics, intensity, light_adapt)
+  return pallas_dm.demosaic_reinhard_stencil(ph_in, weights, *tiles,
+                                             scal, fin)
+
+
 def reinhard_apply_ca(x, metrics, gamma, intensity, light_adapt,
                       color_adapt, work_dtype, axis_name=None):
   """ISP Reinhard with channels at axis -3 (works for planar (N,3,h,w)
@@ -1450,15 +1475,27 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
   # by the demosaic itself (Pallas: in-kernel MXU dots; XLA fallback: a
   # strided slice) — a strided gather of the finished x12 costs ~13 ms at
   # 6x4K on TPU.
+  wd = types.canonical_dtype(work_dtype)
   want_sample = resize_plan is None and stride % 2 == 0
-  if want_sample:
+  # Front-fused route (bf16 flagship): demosaic + Reinhard map as ONE
+  # Pallas pass, with metering fed by the strided-conv sample pre-pass
+  # (see demosaic_reinhard_front). Unsharded no-resize reinhard only.
+  front_fused = False
+  if (want_sample and tonemap == "reinhard" and wd == types.bf16
+      and isinstance(color_adapt, float) and color_adapt == 0.0
+      and axis_name is None):
+    from taichi_image_tpu.ops.pallas import demosaic as _pallas_dm
+    front_fused = _pallas_dm.front_fused_available(
+        phases.shape[-2], phases.shape[-1],
+        in_bf16=phases.dtype == jnp.bfloat16)
+  if front_fused:
+    pass  # demosaic runs fused with the map below
+  elif want_sample:
     x12, strided_sample = demosaic_phases(
-        phases, pattern, cc=cc,
-        out_dtype=types.canonical_dtype(work_dtype),
+        phases, pattern, cc=cc, out_dtype=wd,
         sample_step=max(stride // 2, 1))
   else:
-    x12 = demosaic_phases(phases, pattern, cc=cc,
-                          out_dtype=types.canonical_dtype(work_dtype))
+    x12 = demosaic_phases(phases, pattern, cc=cc, out_dtype=wd)
 
   def _meter(strided):
     m = metering_update_ca(strided, prev, t, axis_name=axis_name,
@@ -1505,39 +1542,41 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
     else:
       raise ValueError(f"unknown tonemap {tonemap}")
   else:
-    n, _, hh, wh = x12.shape
+    n, _, hh, wh = phases.shape  # x12 shares the phase-plane spatial dims
     # full-res stride-8 pixels are exactly phase (0,0) at half-res stride 4
-    new_metrics = _meter(strided_sample)
-    if tonemap == "reinhard":
+    if front_fused:
+      # metrics come from the strided-conv sample pre-pass (one read of
+      # the phase planes); the demosaic + map then run as ONE kernel
+      new_metrics = _meter(bayer_ops.demosaic_samples(
+          phases, pattern, cc=cc, out_dtype=wd,
+          sample_step=max(stride // 2, 1)))
+      cast, max_out = demosaic_reinhard_front(
+          phases, new_metrics, intensity, light_adapt, pattern, cc)
+      out12 = reinhard_gamma_ca(cast, max_out, gamma)
+    elif tonemap == "reinhard":
+      new_metrics = _meter(strided_sample)
       cast, max_out = reinhard_map_max_ca(
           x12.reshape(n, 4, 3, hh, wh), new_metrics, intensity,
           light_adapt, color_adapt, work_dtype)
       out12 = reinhard_gamma_ca(cast, max_out, gamma)
-      if color_format == "yuv420":
-        # gamma -> u8 FIRST (one materialized 1-byte phase array read by
-        # both yuv chains), transform the u8 in phase space, convert —
-        # no interleaved RGB intermediate. The barrier-recompute
-        # alternative (gamma recomputed inside the Y and chroma chains
-        # from the bf16 map output) was raced same-run and LOSES by
-        # ~1 ms at 6x4K: two full bf16 reads + converts cost more than
-        # one u8 write + two u8 reads (tools/probe_i420.py: composed
-        # 10.21 vs barrier 11.21, anchor 7.26).
-        u8_12 = _transform_phases(out12.reshape(n, 12, hh, wh),
-                                  transform)
-        return new_metrics, yuv420_from_phases_u8(
-            u8_12, mxu=types.canonical_dtype(work_dtype) == types.bf16)
     elif tonemap == "linear":
+      new_metrics = _meter(strided_sample)
       out12 = linear_apply_ca(x12.reshape(n, 4, 3, hh, wh), new_metrics,
                               gamma)
-      if color_format == "yuv420":
-        # same u8-first route as reinhard: transform the u8 phases,
-        # convert from phase form, no interleaved intermediate
-        u8_12 = _transform_phases(out12.reshape(n, 12, hh, wh),
-                                  transform)
-        return new_metrics, yuv420_from_phases_u8(
-            u8_12, mxu=types.canonical_dtype(work_dtype) == types.bf16)
     else:
       raise ValueError(f"unknown tonemap {tonemap}")
+    if color_format == "yuv420":
+      # gamma -> u8 FIRST (one materialized 1-byte phase array read by
+      # both yuv chains), transform the u8 in phase space, convert —
+      # no interleaved RGB intermediate. The barrier-recompute
+      # alternative (gamma recomputed inside the Y and chroma chains
+      # from the bf16 map output) was raced same-run and LOSES by
+      # ~1 ms at 6x4K: two full bf16 reads + converts cost more than
+      # one u8 write + two u8 reads (tools/probe_i420.py: composed
+      # 10.21 vs barrier 11.21, anchor 7.26).
+      u8_12 = _transform_phases(out12.reshape(n, 12, hh, wh), transform)
+      return new_metrics, yuv420_from_phases_u8(u8_12,
+                                                mxu=wd == types.bf16)
     # transform in phase space (see _transform_phases) then interleave
     out = planar_from_phases_transformed(out12.reshape(n, 12, hh, wh),
                                          transform)

@@ -472,6 +472,40 @@ def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",
   return out, samp
 
 
+def demosaic_samples(phases, pattern: BayerPattern, cc=None, method="mhc",
+                     out_dtype=jnp.float32, sample_step: int = 4):
+  """Metering-sample pre-pass: the demosaic evaluated ONLY at the
+  ``(::step, ::step)`` grid of output channels 0..2, via a strided
+  convolution (the stride makes XLA compute just the sampled positions —
+  ~1/step² of the taps, one read of the phase planes).
+
+  Same per-sample arithmetic as ``demosaic_phases(..., sample_step)``'s
+  second return (renorm via edge_renorm_factor_sampled, CCM, clip, cast)
+  — the tap accumulation may associate differently from the stencil
+  kernel's sequential order (f32 ulps; metering stats agree to ~1e-7
+  relative). Exists so the front-fused demosaic+Reinhard kernel
+  (ops/pallas/demosaic.demosaic_reinhard_stencil) can have its metrics
+  BEFORE the main stencil runs — the kernel's own sample emission would
+  be circular there.
+  """
+  n, _, hh, wh = phases.shape
+  s = sample_step
+  weights = _demosaic_tables(pattern, method)
+  num = jax.lax.conv_general_dilated(
+      phases.astype(jnp.float32), jnp.asarray(weights[:3]), (s, s),
+      ((1, 1), (1, 1)), dimension_numbers=("NCHW", "OIHW", "NCHW"),
+      precision=jax.lax.Precision.HIGHEST,
+      preferred_element_type=jnp.float32)
+  full3 = weights[:3].sum(axis=(1, 2, 3))
+  num16 = num * jnp.asarray(1.0 / full3, jnp.float32)[None, :, None, None]
+  samp = num16 * edge_renorm_factor_sampled(weights, hh, wh, s)[:, 0:3]
+  if cc is not None:
+    ccm = jnp.asarray(np.array(cc, np.float32).reshape(3, 3))
+    samp = jnp.einsum("nchw,dc->ndhw", samp, ccm,
+                      precision=jax.lax.Precision.HIGHEST)
+  return jnp.clip(samp, 0.0, 1.0).astype(out_dtype)
+
+
 @cache
 def _interleave_table_1ch():
   """One-hot (1, 4, 2, 2) kernel assembling a full-res plane from four

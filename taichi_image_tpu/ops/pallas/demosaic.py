@@ -45,7 +45,8 @@ def _pick_tile(n: int, quantum: int, lo: int, hi: int):
 
 
 def tiling_for(hh: int, wh: int, sample_step: int = 0,
-               in_bf16: bool = False, out_bf16: bool = False):
+               in_bf16: bool = False, out_bf16: bool = False,
+               extra_f32_tmp: int = 0):
   """(TR, TW) tile sizes, or None for shapes too small to tile.
 
   Arbitrary hh/wh are supported: the wrapper pads up to the tile grid
@@ -54,6 +55,9 @@ def tiling_for(hh: int, wh: int, sample_step: int = 0,
   ``sample_step`` > 0 constrains tiles so the kernel's subsampled second
   output still has Mosaic-legal (8, 128)-aligned blocks: TR a multiple of
   8*step and TW a multiple of 128*step.
+
+  ``extra_f32_tmp``: budget for N additional (TR, TW) f32 temporaries the
+  kernel body keeps live (the fused-tonemap variant's map arithmetic).
   """
   qr = 8 * max(sample_step, 1)
   qc = 128 * max(sample_step, 1)
@@ -70,6 +74,7 @@ def tiling_for(hh: int, wh: int, sample_step: int = 0,
     vmem = in_bytes * 2 * halo + out_bytes * 2 * (12 * cand * tw)
     if in_bf16:
       vmem += 4 * halo  # f32 conversion temporary
+    vmem += extra_f32_tmp * 4 * cand * tw
     if vmem <= _VMEM_BUDGET and (tr is None or
                                  _waste(hh, cand) <= _waste(hh, tr)):
       tr = cand
@@ -81,7 +86,7 @@ def _waste(n: int, t: int) -> int:
 
 
 def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
-                    finish, *refs):
+                    finish, tonemap, *refs):
   """Double-buffered halo stencil: while tile t computes, tile t+1's halo
   block is already in flight (DMA overlap measured +12%).
 
@@ -97,8 +102,22 @@ def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
   fused 3x3 CCM, the [0, 1] clip, and the output-dtype cast — emitting
   the FINAL x12 instead of interior-normalized f32 numerators, which
   skips a ~1.2 GB/step XLA round trip at 6x4K.
+
+  When ``tonemap`` is set (requires ``finish`` and no sample output),
+  the kernel additionally quantizes the finished x12 to the output
+  dtype IN-REGISTER (replicating the composed path's bf16
+  materialization — the reference casts to the working dtype before the
+  map, camera_isp.py:211-218) and applies the color_adapt == 0 Reinhard
+  map (the same exp2/log2 math as ops/pallas/reinhard._bf16_kernel_dma)
+  with per-tile max partials — emitting the pre-gamma ``p`` instead of
+  x12, which skips the map kernel's full-res x12 read + write
+  (~600 MB/step at 6x4K). Scalars arrive via SMEM: [m0, range, map_key,
+  mean, exp(-intensity), light_adapt].
   """
-  if sample_step:
+  if tonemap:
+    assert finish is not None and not sample_step
+    hbm_ref, s_ref, out_ref, mx_ref, scratch, sems = refs
+  elif sample_step:
     hbm_ref, rsel_ref, csel_ref, out_ref, samp_ref, scratch, sems = refs
   else:
     hbm_ref, out_ref, scratch, sems = refs
@@ -182,6 +201,17 @@ def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
       emit(oc, taps(oc))
     return
 
+  if tonemap:
+    # grid-overhang mask: padded tiles must not pollute the max partial.
+    # Masked positions contribute 0.0, which is EXACTLY equivalent to
+    # excluding them: the gamma stage clamps max_out to >= 1e-6, so a
+    # 0.0 only wins when every valid p is below 1e-6 — where the clamp
+    # makes both paths produce the same max_out.
+    valid = (rg < hh_img) & (cg < wh_img)
+    m0, rng_s, mk = s_ref[0], s_ref[1], s_ref[2]
+    mean_s, eni, la = s_ref[3], s_ref[4], s_ref[5]
+    mx = None
+
   for p in range(4):
     vals = []
     for c in range(3):
@@ -199,8 +229,32 @@ def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
     if ccm is not None:
       vals = [vals[0] * float(ccm[d, 0]) + vals[1] * float(ccm[d, 1])
               + vals[2] * float(ccm[d, 2]) for d in range(3)]
-    for c in range(3):
-      emit(3 * p + c, jnp.clip(vals[c], 0.0, 1.0))
+    if not tonemap:
+      for c in range(3):
+        emit(3 * p + c, jnp.clip(vals[c], 0.0, 1.0))
+      continue
+    # quantize-then-map: the composed path materializes x12 in the
+    # working dtype before the map kernel reads it — replicate that
+    # rounding in-register so values stay bitwise-comparable
+    q = [jnp.clip(v, 0.0, 1.0).astype(finish["out_dtype"])
+         .astype(jnp.float32) for v in vals]
+    rs = (q[0] - m0) / rng_s
+    gs = (q[1] - m0) / rng_s
+    bs = (q[2] - m0) / rng_s
+    gray = 0.299 * rs + 0.587 * gs + 0.114 * bs
+    adapt_mean = mean_s + la * (gray - mean_s)
+    # exp2(k*log2(b)) pow lowering: same trade as the standalone map
+    # kernel (ops/pallas/reinhard._bf16_kernel_dma) — <=1 bf16 ulp of
+    # jnp.power, identical edge semantics (b<0 -> NaN -> zeroed)
+    adapt = jnp.exp2(mk * jnp.log2(eni * adapt_mean))
+    for c, scaled in ((0, rs), (1, gs), (2, bs)):
+      pv = scaled * (1.0 / (adapt + scaled))
+      pv = jnp.where(jnp.isnan(pv), 0.0, pv)
+      tmax = jnp.max(jnp.where(valid, pv, 0.0))
+      mx = tmax if mx is None else jnp.maximum(mx, tmax)
+      out_ref[0, 3 * p + c] = pv.astype(out_ref.dtype)
+  if tonemap:
+    mx_ref[...] = jnp.broadcast_to(mx, (1, 8, 128))
 
 
 def demosaic_stencil(phases_f32, weights: np.ndarray, tr: int, tw: int,
@@ -232,7 +286,7 @@ def demosaic_stencil(phases_f32, weights: np.ndarray, tr: int, tw: int,
                     (_HALO_C, _HALO_C + nj * tw - wh)))
   inv_full = tuple(float(1.0 / s) for s in weights.sum(axis=(1, 2, 3)))
   kernel = functools.partial(_stencil_kernel, weights, inv_full, tr, tw,
-                             ni, nj, nt, sample_step, finish)
+                             ni, nj, nt, sample_step, finish, False)
 
   def out_map(t):
     nn = t // (ni * nj)
@@ -295,3 +349,82 @@ def pallas_available(hh: int, wh: int) -> bool:
   not disabled via TAICHI_IMAGE_TPU_NO_PALLAS."""
   from taichi_image_tpu.ops.pallas import backend_enabled
   return backend_enabled() and tiling_for(hh, wh) is not None
+
+
+# Map-stage f32 temporaries the fused-tonemap kernel keeps live per tile
+# (3 quantized channels + 3 scaled + gray + adapt), for VMEM budgeting.
+_TONEMAP_TMPS = 8
+
+
+def demosaic_reinhard_stencil(phases, weights: np.ndarray, tr: int,
+                              tw: int, scal, finish,
+                              interpret: bool = False):
+  """Front-fused demosaic + Reinhard map: (N, 4, hh, wh) bf16/f32
+  phases -> (pre-gamma ``p`` (N, 12, hh, wh) bf16, per-image f32 max
+  (N, 1, 1, 1)).
+
+  One kernel pass instead of demosaic-stencil -> x12 -> map-kernel: the
+  map runs in-register on the finished (quantized) x12 values, skipping
+  the x12 HBM round trip (~600 MB/step at 6x4K). Requires metrics to be
+  known BEFORE the demosaic — callers feed the metering from the strided
+  sample pre-pass (ops/bayer.demosaic_samples) instead of the kernel's
+  sample emission. ``scal`` is the (6,) f32 SMEM vector
+  [m0, range, map_key, mean, exp(-intensity), light_adapt]
+  (build with ops/pallas/reinhard.reinhard_scal); ``finish`` is the
+  _stencil_finish_spec dict (out_dtype = the quantization dtype the
+  composed path would have materialized x12 in — bf16)."""
+  n, _, hh, wh = phases.shape
+  ni, nj = -(-hh // tr), -(-wh // tw)
+  nt = n * ni * nj
+  padded = jnp.pad(phases,
+                   ((0, 0), (0, 0),
+                    (_HALO_R, _HALO_R + ni * tr - hh),
+                    (_HALO_C, _HALO_C + nj * tw - wh)))
+  inv_full = tuple(float(1.0 / s) for s in weights.sum(axis=(1, 2, 3)))
+  kernel = functools.partial(_stencil_kernel, weights, inv_full, tr, tw,
+                             ni, nj, nt, 0, finish, True)
+
+  def out_map(t):
+    nn = t // (ni * nj)
+    r = t % (ni * nj)
+    return (nn, 0, r // nj, r % nj)
+
+  def mx_map(t):
+    nn = t // (ni * nj)
+    r = t % (ni * nj)
+    return (nn, r // nj, r % nj)
+
+  p, mx = pl.pallas_call(
+      kernel,
+      out_shape=[
+          jax.ShapeDtypeStruct((n, 12, ni * tr, nj * tw), jnp.bfloat16),
+          jax.ShapeDtypeStruct((n, ni * 8, nj * 128), jnp.float32),
+      ],
+      grid=(nt,),
+      in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM)],
+      out_specs=[
+          pl.BlockSpec((1, 12, tr, tw), out_map,
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 8, 128), mx_map, memory_space=pltpu.VMEM),
+      ],
+      scratch_shapes=[
+          pltpu.VMEM((2, 4, tr + 2 * _HALO_R, tw + 2 * _HALO_C),
+                     phases.dtype),
+          pltpu.SemaphoreType.DMA((2,)),
+      ],
+      interpret=interpret,
+  )(padded, scal)
+  if (ni * tr, nj * tw) != (hh, wh):
+    p = p[:, :, :hh, :wh]
+  max_out = jnp.max(mx, axis=(1, 2))[:, None, None, None]
+  return p, max_out
+
+
+def front_fused_available(hh: int, wh: int, in_bf16: bool) -> bool:
+  """True when the fused demosaic+Reinhard kernel can run: TPU backend,
+  off-switch unset, and a tiling that fits the map temporaries."""
+  from taichi_image_tpu.ops.pallas import backend_enabled
+  return (backend_enabled()
+          and tiling_for(hh, wh, in_bf16=in_bf16, out_bf16=True,
+                         extra_f32_tmp=_TONEMAP_TMPS) is not None)

@@ -50,6 +50,18 @@ def reinhard_tiling(hh: int, wh: int):
   return (tr, tw) if tr else None
 
 
+def reinhard_scal(metrics, intensity, light_adapt):
+  """The (6,) f32 SMEM scalar vector every Reinhard map kernel takes:
+  [m0, range, map_key, mean, exp(-intensity), light_adapt]. Computed in
+  XLA so map_key's pow and exp(-intensity) match the XLA path exactly."""
+  m = metrics
+  key = (m[3] - m[4]) / (m[3] - m[2])
+  map_key = 0.3 + 0.7 * jnp.power(key, 1.4)
+  return jnp.stack([m[0], m[1] - m[0], map_key, m[5],
+                    jnp.exp(-jnp.float32(intensity)),
+                    jnp.float32(light_adapt)])
+
+
 def _kernel(x_ref, s_ref, p_ref, mx_ref):
   """x_ref (1, 12, tr, tw) f32; s_ref SMEM (6,):
   [m0, range, map_key, mean(m5), exp(-intensity), light_adapt]."""

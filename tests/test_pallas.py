@@ -156,3 +156,168 @@ def test_stencil_fused_finish_matches_xla(cc, odt, rng):
       bi = np.asarray(b).view(np.uint16).astype(np.int64)
       d = np.abs(ai - bi)
       assert d.max() <= 1 and (d != 0).mean() < 1e-3, (name, d.max())
+
+# ---------------------------------------------------------------------------
+# Front-fused demosaic + Reinhard map (round 3): one kernel pass from
+# phase planes to the pre-gamma p, with metering fed by the strided-conv
+# sample pre-pass (ops/bayer.demosaic_samples).
+# ---------------------------------------------------------------------------
+
+
+def _front_metrics(phases, cc=None):
+  import jax.numpy as jnp
+  from taichi_image_tpu.models.camera_isp import metering_update_ca
+  samp = bayer.demosaic_samples(phases, bayer.BayerPattern.RGGB, cc=cc,
+                                out_dtype=jnp.bfloat16, sample_step=4)
+  return metering_update_ca(samp.astype(jnp.float32),
+                            jnp.zeros(9, jnp.float32), jnp.float32(0.0))
+
+
+@pytest.mark.parametrize("cc", [None, "ccm"])
+def test_demosaic_samples_matches_sample_emission(cc, rng):
+  """The strided-conv sample pre-pass is bitwise-equal (on the XLA
+  backend) to demosaic_phases' sample output — same renorm factors,
+  same CCM/clip/cast order."""
+  ccv = (None if cc is None else
+         tuple(np.array([[1.2, -0.1, 0.0], [-0.05, 1.1, -0.05],
+                         [0.0, -0.1, 1.3]], np.float32).ravel()))
+  phases = jnp.asarray(rng.random((2, 4, 64, 256), np.float32),
+                       jnp.bfloat16)
+  _, want = bayer.demosaic_phases(phases, bayer.BayerPattern.RGGB, cc=ccv,
+                                  out_dtype=jnp.bfloat16, sample_step=4)
+  got = bayer.demosaic_samples(phases, bayer.BayerPattern.RGGB, cc=ccv,
+                               out_dtype=jnp.bfloat16, sample_step=4)
+  assert got.shape == want.shape == (2, 3, 16, 64)
+  np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                np.asarray(want, np.float32))
+
+
+def test_front_fused_matches_composed_kernels(rng):
+  """demosaic_reinhard_stencil == demosaic_stencil(fused finish) -> bf16
+  x12 -> reinhard_map_bf16_dma, BITWISE (same arithmetic, same
+  quantization point, same exp2/log2 pow), including per-image max."""
+  from taichi_image_tpu.ops.pallas.reinhard import (reinhard_map_bf16_dma,
+                                                    reinhard_scal)
+  hh, wh = 64, 256
+  ccv = tuple(np.array([[1.2, -0.1, 0.0], [-0.05, 1.1, -0.05],
+                        [0.0, -0.1, 1.3]], np.float32).ravel())
+  phases = jnp.asarray(rng.random((2, 4, hh, wh), np.float32),
+                       jnp.bfloat16)
+  weights = bayer._demosaic_tables(bayer.BayerPattern.RGGB, "mhc")
+  fin = bayer._stencil_finish_spec(weights, hh, wh, ccv, jnp.bfloat16)
+  metrics = _front_metrics(phases, ccv)
+  scal = reinhard_scal(metrics, 1.0, 1.0)
+
+  tiles = pallas_dm.tiling_for(hh, wh, in_bf16=True, out_bf16=True,
+                               extra_f32_tmp=pallas_dm._TONEMAP_TMPS)
+  p_f, mx_f = pallas_dm.demosaic_reinhard_stencil(
+      phases, weights, *tiles, scal, fin, interpret=True)
+  assert p_f.shape == (2, 12, hh, wh) and p_f.dtype == jnp.bfloat16
+
+  x12 = pallas_dm.demosaic_stencil(
+      phases, weights, *pallas_dm.tiling_for(hh, wh, in_bf16=True,
+                                             out_bf16=True),
+      finish=fin, interpret=True)
+  p_c, mx_c = reinhard_map_bf16_dma(x12, metrics, 1.0, 1.0,
+                                    interpret=True)
+  np.testing.assert_array_equal(np.asarray(p_f, np.float32),
+                                np.asarray(p_c, np.float32))
+  np.testing.assert_allclose(np.asarray(mx_f).ravel(),
+                             np.asarray(mx_c).ravel(), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("shape", [(64, 256), (68, 384)])
+def test_front_fused_vs_xla_map(shape, rng):
+  """Against the XLA jnp.power map on the quantized x12: <=1 bf16 ulp
+  (the exp2/log2 pow contract), NaN pixels zeroed. The 68-row shape
+  pads the tile grid by 4 rows — the in-kernel mask must keep padded
+  pixels out of the per-image max."""
+  from taichi_image_tpu.models.camera_isp import reinhard_map_ca
+  from taichi_image_tpu.ops.pallas.reinhard import reinhard_scal
+  hh, wh = shape
+  phases = jnp.asarray(rng.random((1, 4, hh, wh), np.float32),
+                       jnp.bfloat16)
+  weights = bayer._demosaic_tables(bayer.BayerPattern.RGGB, "mhc")
+  fin = bayer._stencil_finish_spec(weights, hh, wh, None, jnp.bfloat16)
+  metrics = _front_metrics(phases)
+  tiles = pallas_dm.tiling_for(hh, wh, in_bf16=True, out_bf16=True,
+                               extra_f32_tmp=pallas_dm._TONEMAP_TMPS)
+  p_f, mx_f = pallas_dm.demosaic_reinhard_stencil(
+      phases, weights, *tiles, reinhard_scal(metrics, 1.0, 1.0), fin,
+      interpret=True)
+  x12 = pallas_dm.demosaic_stencil(
+      phases, weights, *pallas_dm.tiling_for(hh, wh, in_bf16=True,
+                                             out_bf16=True),
+      finish=fin, interpret=True)
+  p_x = reinhard_map_ca(x12.reshape(1, 4, 3, hh, wh), metrics, 1.0, 1.0,
+                        0.0).reshape(1, 12, hh, wh)
+  d = np.abs(np.asarray(p_f, np.float32) - np.asarray(p_x, np.float32))
+  assert d.max() <= 2e-3, d.max()  # one bf16 ulp at p ~ [0.5, 1)
+  assert float(mx_f.max()) == pytest.approx(float(np.asarray(p_x).max()),
+                                            abs=2e-3)
+
+
+def test_front_fused_not_used_on_cpu():
+  assert not pallas_dm.front_fused_available(1080, 1920, in_bf16=True)
+
+
+def test_fused_step_front_fused_route_integrated(monkeypatch, rng):
+  """Full fused_isp_step with the front-fused gate forced open
+  (interpret mode) vs the gates-closed XLA step: metrics to 1e-5 (the
+  sample pre-pass associates taps differently) and <=1 u8 count."""
+  import functools
+  from taichi_image_tpu import types
+  from taichi_image_tpu.models.camera_isp import fused_isp_step
+  from taichi_image_tpu.ops.interpolate import ImageTransform
+
+  raws = jnp.asarray(rng.integers(0, 256, size=(2, 64, 1152),
+                                  dtype=np.uint8))
+  args = (jnp.zeros(9, jnp.float32), jnp.float32(0.9), 1.0, 1.0, 1.0,
+          0.0, "packed12", False, types.bf16, bayer.BayerPattern.RGGB,
+          None, None, 8, ImageTransform.none, "reinhard")
+  import jax
+  m_ref, o_ref = jax.jit(lambda r: fused_isp_step(r, *args))(raws)
+
+  monkeypatch.setattr(pallas_dm, "front_fused_available",
+                      lambda hh, wh, in_bf16: True)
+  monkeypatch.setattr(pallas_dm, "demosaic_reinhard_stencil",
+                      functools.partial(pallas_dm.demosaic_reinhard_stencil,
+                                        interpret=True))
+  m_pl, o_pl = jax.jit(lambda r: fused_isp_step(r, *args))(raws)
+
+  np.testing.assert_allclose(np.asarray(m_pl), np.asarray(m_ref),
+                             rtol=1e-5, atol=1e-5)
+  d = np.abs(np.asarray(o_pl).astype(int) - np.asarray(o_ref).astype(int))
+  assert d.max() <= 1, d.max()
+  assert (d != 0).mean() < 0.02
+
+
+def test_fused_step_front_fused_yuv420_and_gamma(monkeypatch, rng):
+  """Front-fused route composes with gamma != 1 and I420 output."""
+  import functools
+  from taichi_image_tpu import types
+  from taichi_image_tpu.models.camera_isp import fused_isp_step
+  from taichi_image_tpu.ops.interpolate import ImageTransform
+  import jax
+
+  raws = jnp.asarray(rng.integers(0, 256, size=(2, 64, 1152),
+                                  dtype=np.uint8))
+  args = (jnp.zeros(9, jnp.float32), jnp.float32(0.9), 0.9, 1.0, 1.0,
+          0.0, "packed12", False, types.bf16, bayer.BayerPattern.RGGB,
+          None, None, 8, ImageTransform.none, "reinhard")
+  m_ref, (y_ref, uv_ref) = jax.jit(lambda r: fused_isp_step(
+      r, *args, color_format="yuv420"))(raws)
+
+  monkeypatch.setattr(pallas_dm, "front_fused_available",
+                      lambda hh, wh, in_bf16: True)
+  monkeypatch.setattr(pallas_dm, "demosaic_reinhard_stencil",
+                      functools.partial(pallas_dm.demosaic_reinhard_stencil,
+                                        interpret=True))
+  m_pl, (y_pl, uv_pl) = jax.jit(lambda r: fused_isp_step(
+      r, *args, color_format="yuv420"))(raws)
+
+  np.testing.assert_allclose(np.asarray(m_pl), np.asarray(m_ref),
+                             rtol=1e-5, atol=1e-5)
+  for got, want in ((y_pl, y_ref), (uv_pl, uv_ref)):
+    d = np.abs(np.asarray(got).astype(int) - np.asarray(want).astype(int))
+    assert d.max() <= 1, d.max()

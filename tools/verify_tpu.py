@@ -255,6 +255,57 @@ def main():
     record("fused_step_no_fullres_f32_entry_op", False,
            f"{type(e).__name__}: {str(e)[:90]}")
 
+  # 8d. Front-fused demosaic+Reinhard (round 3): the bf16 step runs the
+  #     demosaic and the map as ONE kernel (metering from the
+  #     strided-conv sample pre-pass). Kernel-level contract: BITWISE
+  #     equal to the composed stencil -> bf16 x12 -> map-kernel chain on
+  #     chip (same arithmetic, same quantization point, same exp2 pow).
+  from taichi_image_tpu.models.camera_isp import metering_update_ca
+  from taichi_image_tpu.ops.pallas import demosaic as pl_dm
+  ph_ff = jnp.asarray(rng.random((2, 4, 256, 384), np.float32),
+                      jnp.bfloat16)
+  w_ff = bayer._demosaic_tables(BayerPattern.RGGB, "mhc")
+  fin_ff = bayer._stencil_finish_spec(w_ff, 256, 384, None, jnp.bfloat16)
+
+  def _ff_pair(ph):
+    samp = bayer.demosaic_samples(ph, BayerPattern.RGGB,
+                                  out_dtype=jnp.bfloat16, sample_step=4)
+    mm = metering_update_ca(samp, jnp.zeros(9, jnp.float32),
+                            jnp.float32(0.0))
+    scal = pl_rh.reinhard_scal(mm, 1.0, 1.0)
+    tf = pl_dm.tiling_for(256, 384, in_bf16=True, out_bf16=True,
+                          extra_f32_tmp=pl_dm._TONEMAP_TMPS)
+    pf, mxf = pl_dm.demosaic_reinhard_stencil(ph, w_ff, *tf, scal, fin_ff)
+    x12c = pl_dm.demosaic_stencil(
+        ph, w_ff, *pl_dm.tiling_for(256, 384, in_bf16=True, out_bf16=True),
+        finish=fin_ff)
+    pc, mxc = pl_rh.reinhard_map_bf16_dma(x12c, mm, 1.0, 1.0)
+    return pf, mxf, pc, mxc
+  pf, mxf, pc, mxc = jax.jit(_ff_pair)(ph_ff)
+  ok_p = np.array_equal(np.asarray(pf).view(np.uint16),
+                        np.asarray(pc).view(np.uint16))
+  dmx = float(np.abs(np.asarray(mxf).ravel()
+                     - np.asarray(mxc).ravel()).max())
+  record("front_fused_kernel_bitwise_onchip", ok_p and dmx == 0.0,
+         f"p bitwise={ok_p} max|dmax|={dmx:.2e}")
+
+  #     Step-level: the shipped bf16 step (auto-front-fused on TPU) vs
+  #     the forced-XLA step — <=1 u8 count, metrics to 1e-5 (the sample
+  #     pre-pass associates taps differently than the kernel emission).
+  args_ff = (jnp.zeros(9, jnp.float32), jnp.float32(0.9), 1.0, 1.0, 1.0,
+             0.0, "packed12", False, types.bf16, BayerPattern.RGGB, None,
+             None, 8, ImageTransform.none, "reinhard")
+  assert pl_dm.front_fused_available(128, 192, in_bf16=True)
+  mf1, of1 = jax.jit(lambda r: fused_isp_step(r, *args_ff))(raws)
+  with no_pallas():
+    mf2, of2 = jax.jit(lambda r: fused_isp_step(r, *args_ff))(raws)
+  dff = np.abs(np.asarray(of1).astype(int) - np.asarray(of2).astype(int))
+  dmf = float(np.abs(np.asarray(mf1) - np.asarray(mf2)).max())
+  record("front_fused_step_vs_xla_onchip",
+         int(dff.max()) <= 1 and dmf < 1e-5,
+         f"u8 max|diff|={int(dff.max())} frac!=0="
+         f"{float((dff != 0).mean()):.2e} metrics max|diff|={dmf:.2e}")
+
   # 8c. I420 single-dot MXU formulation (round 3): the bf16 pipeline's
   #     yuv420 conversion is ONE (6,12) channel contraction over the u8
   #     phases (u8->bf16 exact, f32 accumulation). Contract: <=1 u8
