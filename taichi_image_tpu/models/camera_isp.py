@@ -1087,6 +1087,10 @@ def demosaic_reinhard_front(phases, metrics, intensity, light_adapt,
   fin = bayer_ops._stencil_finish_spec(weights, hh, wh, cc, jnp.bfloat16)
   tiles = pallas_dm.tiling_for(hh, wh, in_bf16=in_bf16, out_bf16=True,
                                extra_f32_tmp=pallas_dm._TONEMAP_TMPS)
+  if tiles is None:
+    raise ValueError(
+        f"no front-fused tiling for phase shape {(hh, wh)} — gate calls "
+        "with ops.pallas.demosaic.front_fused_available")
   scal = reinhard_scal(metrics, intensity, light_adapt)
   return pallas_dm.demosaic_reinhard_stencil(ph_in, weights, *tiles,
                                              scal, fin)
