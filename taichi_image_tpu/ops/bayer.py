@@ -491,11 +491,21 @@ def demosaic_samples(phases, pattern: BayerPattern, cc=None, method="mhc",
   n, _, hh, wh = phases.shape
   s = sample_step
   weights = _demosaic_tables(pattern, method)
-  num = jax.lax.conv_general_dilated(
-      phases.astype(jnp.float32), jnp.asarray(weights[:3]), (s, s),
-      ((1, 1), (1, 1)), dimension_numbers=("NCHW", "OIHW", "NCHW"),
-      precision=jax.lax.Precision.HIGHEST,
-      preferred_element_type=jnp.float32)
+  if phases.dtype == jnp.bfloat16:
+    # bf16 operands are EXACT here: the phase values ARE bf16 data and
+    # the MHC/bilinear weights are dyadic rationals n/16 (<= 4 mantissa
+    # bits); products are exact in the MXU's f32 accumulation. Avoids
+    # materializing a full f32 copy of the phase planes for the convert.
+    num = jax.lax.conv_general_dilated(
+        phases, jnp.asarray(weights[:3], jnp.bfloat16), (s, s),
+        ((1, 1), (1, 1)), dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32)
+  else:
+    num = jax.lax.conv_general_dilated(
+        phases.astype(jnp.float32), jnp.asarray(weights[:3]), (s, s),
+        ((1, 1), (1, 1)), dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
   full3 = weights[:3].sum(axis=(1, 2, 3))
   num16 = num * jnp.asarray(1.0 / full3, jnp.float32)[None, :, None, None]
   samp = num16 * edge_renorm_factor_sampled(weights, hh, wh, s)[:, 0:3]
