@@ -472,8 +472,33 @@ def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",
   return out, samp
 
 
+def _samples_shift(phases, weights, s, hh, wh):
+  """Sample-grid demosaic numerators via per-tap offset slices +
+  reshape-select subsample (no convolution op): each tap reads the
+  zero-padded phase planes at its (u, v) offset, subsamples FIRST
+  (small), converts, and accumulates in f32. Offset slices are
+  contiguous (not the strided-lane gather pathology); the subsample is
+  the minor-dim reshape trick (subsample_hw)."""
+  padded = jnp.pad(phases, ((0, 0), (0, 0), (1, 1), (1, 1)))
+  out = []
+  for oc in range(3):
+    acc = None
+    for q in range(4):
+      for u in range(3):
+        for v in range(3):
+          wgt = float(weights[oc, q, u, v])
+          if wgt == 0.0:
+            continue
+          tap = subsample_hw(padded[:, q, u:u + hh, v:v + wh], s, s)
+          tap = tap.astype(jnp.float32) * wgt
+          acc = tap if acc is None else acc + tap
+    out.append(acc)
+  return jnp.stack(out, axis=1)
+
+
 def demosaic_samples(phases, pattern: BayerPattern, cc=None, method="mhc",
-                     out_dtype=jnp.float32, sample_step: int = 4):
+                     out_dtype=jnp.float32, sample_step: int = 4,
+                     formulation: str = "conv"):
   """Metering-sample pre-pass: the demosaic evaluated ONLY at the
   ``(::step, ::step)`` grid of output channels 0..2, via a strided
   convolution (the stride makes XLA compute just the sampled positions —
@@ -487,11 +512,18 @@ def demosaic_samples(phases, pattern: BayerPattern, cc=None, method="mhc",
   (ops/pallas/demosaic.demosaic_reinhard_stencil) can have its metrics
   BEFORE the main stencil runs — the kernel's own sample emission would
   be circular there.
+
+  ``formulation``: 'conv' (strided lax.conv, default) or 'shift'
+  (per-tap offset slices + reshape-select subsample, summed explicitly
+  — the fallback if the conv hits XLA's pathological channel-minor
+  convolution layouts on TPU; same values up to f32 sum association).
   """
   n, _, hh, wh = phases.shape
   s = sample_step
   weights = _demosaic_tables(pattern, method)
-  if phases.dtype == jnp.bfloat16:
+  if formulation == "shift":
+    num = _samples_shift(phases, weights, s, hh, wh)
+  elif phases.dtype == jnp.bfloat16:
     # bf16 operands are EXACT here: the phase values ARE bf16 data and
     # the MHC/bilinear weights are dyadic rationals n/16 (<= 4 mantissa
     # bits); products are exact in the MXU's f32 accumulation. Avoids

@@ -105,6 +105,18 @@ def s_prepass(raws):
   return jnp.sum(m)
 
 
+def s_prepass_shift(raws):
+  """Same as s_prepass with the shift+subsample formulation (the
+  fallback if the strided conv is layout-pathological on TPU)."""
+  ph = load_raw_phases(raws, "packed12", WD)
+  samp = demosaic_samples(ph, BayerPattern.RGGB,
+                          out_dtype=types.canonical_dtype(WD),
+                          sample_step=4, formulation="shift")
+  m = metering_update_ca(samp, jnp.zeros(9, jnp.float32),
+                         jnp.float32(0.9))
+  return jnp.sum(m)
+
+
 def s_mapkernel(raws):
   """decode + demosaic(sample emission) + metering + map kernel — the
   chain the fusion absorbs (no gamma/interleave tail)."""
@@ -175,6 +187,7 @@ def main():
   for name, fn in (("composed (r2/r3 structure)", s_composed),
                    ("front-fused step (shipped)", s_front),
                    ("substage sample pre-pass", s_prepass),
+                   ("substage pre-pass shift form", s_prepass_shift),
                    ("substage composed thru map", s_mapkernel),
                    ("substage front thru kernel", s_frontkernel)):
     if want and not any(w.lower() in name.lower() for w in want):
