@@ -1481,9 +1481,14 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
   # 6x4K on TPU.
   wd = types.canonical_dtype(work_dtype)
   want_sample = resize_plan is None and stride % 2 == 0
-  # Front-fused route (bf16 flagship): demosaic + Reinhard map as ONE
-  # Pallas pass, with metering fed by the strided-conv sample pre-pass
-  # (see demosaic_reinhard_front). Unsharded no-resize reinhard only.
+  # Front-fused route (OPT-IN via TAICHI_IMAGE_TPU_FRONT_FUSED=1, off
+  # by default): demosaic + Reinhard map as ONE Pallas pass, with
+  # metering fed by the strided-conv sample pre-pass (see
+  # demosaic_reinhard_front). Probed on chip and REJECTED as the
+  # default — 14.0 vs 7.3 ms/step at 6x4K (tools/probe_front.py): the
+  # fusion saves nothing kernel-to-kernel (the p write dominates; DMA
+  # double-buffering already hid the map's x12 read) and the sample
+  # pre-pass adds ~2 ms. Unsharded no-resize reinhard only.
   front_fused = False
   if (want_sample and tonemap == "reinhard" and wd == types.bf16
       and isinstance(color_adapt, float) and color_adapt == 0.0

@@ -422,9 +422,24 @@ def demosaic_reinhard_stencil(phases, weights: np.ndarray, tr: int,
 
 
 def front_fused_available(hh: int, wh: int, in_bf16: bool) -> bool:
-  """True when the fused demosaic+Reinhard kernel can run: TPU backend,
-  off-switch unset, and a tiling that fits the map temporaries."""
+  """True when the fused demosaic+Reinhard kernel can run AND the
+  opt-in is set: TPU backend, ``TAICHI_IMAGE_TPU_FRONT_FUSED=1``, and a
+  tiling that fits the map temporaries.
+
+  OFF BY DEFAULT — probed on chip and REJECTED for the shipped step
+  (tools/probe_front.py, tools/probe_front2.py, 6x4K bf16 same-run):
+  the full front route measures 14.0 ms vs 7.3 composed, and even
+  kernel-to-kernel the fusion is a wash (5.85 vs 5.59 ms) — the p
+  output write dominates both formulations, the map kernel's x12 read
+  was already hidden by DMA double-buffering, and the route pays ~2 ms
+  extra for the strided-conv metering sample pre-pass (the in-kernel
+  sample emission is circular when the map needs this frame's metrics
+  before the stencil runs). Values are bitwise-equal to the composed
+  kernels (front_fused_kernel_bitwise_onchip), so the kernel stays as
+  a verified alternative behind the env opt-in."""
+  import os
   from taichi_image_tpu.ops.pallas import backend_enabled
-  return (backend_enabled()
+  return (os.environ.get("TAICHI_IMAGE_TPU_FRONT_FUSED", "") == "1"
+          and backend_enabled()
           and tiling_for(hh, wh, in_bf16=in_bf16, out_bf16=True,
                          extra_f32_tmp=_TONEMAP_TMPS) is not None)

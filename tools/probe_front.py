@@ -10,16 +10,22 @@ because the map needs this frame's metrics before the stencil runs.
 Rows (chained-jit, distinct-byte XOR, every output consumed):
 - composed:   the previous shipped structure (demosaic sample emission ->
               metering -> bf16 map kernel -> gamma -> interleave)
-- front:      fused_isp_step as now shipped (auto-routes front-fused on
-              TPU: pre-pass -> metering -> demosaic_reinhard_stencil ->
-              gamma -> interleave)
+- front:      fused_isp_step with the front-fused gate forced open
+              (pre-pass -> metering -> demosaic_reinhard_stencil ->
+              gamma -> interleave). VERDICT OF THIS PROBE: the route
+              LOSES 2x (14.0 vs 7.3 ms) — it is OFF by default
+              (TAICHI_IMAGE_TPU_FRONT_FUSED=1 opts in); see also
+              probe_front2.py for the kernel-isolated race.
 - prepass:    decode + sample pre-pass + metering only (the new stage's
               marginal cost)
 - mapkernel:  decode + demosaic(sample emission) + metering + map kernel
               (no gamma/interleave) — the stage the fusion absorbs
 """
 
+import os
 import sys
+
+os.environ["TAICHI_IMAGE_TPU_FRONT_FUSED"] = "1"  # this probe races it
 
 sys.path.insert(0, "/root/repo")
 from taichi_image_tpu.utils.platform import ensure_backend_for_timing

@@ -289,14 +289,20 @@ def main():
   record("front_fused_kernel_bitwise_onchip", ok_p and dmx == 0.0,
          f"p bitwise={ok_p} max|dmax|={dmx:.2e}")
 
-  #     Step-level: the shipped bf16 step (auto-front-fused on TPU) vs
-  #     the forced-XLA step — <=1 u8 count, metrics to 1e-5 (the sample
-  #     pre-pass associates taps differently than the kernel emission).
+  #     Step-level: the bf16 step with the front-fused gate FORCED open
+  #     (the route is off by default — rejected with probe_front data)
+  #     vs the forced-XLA step — <=1 u8 count, metrics to 1e-5 (the
+  #     sample pre-pass associates taps differently than the kernel
+  #     emission).
   args_ff = (jnp.zeros(9, jnp.float32), jnp.float32(0.9), 1.0, 1.0, 1.0,
              0.0, "packed12", False, types.bf16, BayerPattern.RGGB, None,
              None, 8, ImageTransform.none, "reinhard")
-  assert pl_dm.front_fused_available(128, 192, in_bf16=True)
-  mf1, of1 = jax.jit(lambda r: fused_isp_step(r, *args_ff))(raws)
+  _ff_orig = pl_dm.front_fused_available
+  pl_dm.front_fused_available = lambda hh, wh, in_bf16: True
+  try:
+    mf1, of1 = jax.jit(lambda r: fused_isp_step(r, *args_ff))(raws)
+  finally:
+    pl_dm.front_fused_available = _ff_orig
   with no_pallas():
     mf2, of2 = jax.jit(lambda r: fused_isp_step(r, *args_ff))(raws)
   dff = np.abs(np.asarray(of1).astype(int) - np.asarray(of2).astype(int))
