@@ -710,7 +710,8 @@ class _ISPBase:
                     ids_format: bool = False, gamma: float = 1.0,
                     intensity: float = 1.0, light_adapt: float = 1.0,
                     color_adapt: float = 0.0, tonemap: str = "reinhard",
-                    layout: str = "planar", color_format: str = "rgb"):
+                    layout: str = "planar", color_format: str = "rgb",
+                    driver: str = "auto"):
     """Fused step for frames too large for one compiled program (8K on
     this environment): sequential row-band execution with halo overlap
     and staged global reductions — same outputs as :meth:`process`,
@@ -733,7 +734,7 @@ class _ISPBase:
         color_adapt=color_adapt, tonemap=tonemap,
         color_format=color_format,
         resize_plan=self._resize_plan_key(raws, fmt),
-        transform=self.transform)
+        transform=self.transform, driver=driver)
     self.metrics = new_metrics
     if color_format != "rgb":
       return out

@@ -41,6 +41,7 @@ from taichi_image_tpu.models.camera_isp import (_plan_scales,
                                                 linear_apply_ca,
                                                 load_raw_phases,
                                                 metering_update_ca,
+                                                planar_from_phases_transformed,
                                                 reinhard_gamma_ca,
                                                 reinhard_map_ca,
                                                 yuv420_from_phases_u8,
@@ -50,7 +51,25 @@ from taichi_image_tpu.ops.bayer import (_demosaic_tables,
                                         phases_to_planar, subsample_hw)
 from taichi_image_tpu.ops.interpolate import ImageTransform, _axis_samples
 
-__all__ = ["process_banded", "band_plan", "band_plan_rows"]
+__all__ = ["process_banded", "band_plan", "band_plan_rows",
+           "scan_band_size"]
+
+
+def scan_band_size(n_rows: int, n_bands: int, q: int):
+  """Equal-band size for the lax.scan driver: the largest multiple of
+  ``q`` that DIVIDES ``n_rows`` and does not exceed the loop driver's
+  band size for the same ``n_bands`` (so compile size stays in the same
+  class). None when no such divisor exists (odd row counts — the
+  Python-loop driver handles those)."""
+  if n_rows < q or n_rows % q:
+    return None
+  nb = max(1, min(n_bands, n_rows // q))
+  per = (-(-n_rows // nb) + q - 1) // q * q
+  best = None
+  for cand in range(q, min(per, n_rows) + 1, q):
+    if n_rows % cand == 0:
+      best = cand
+  return best
 
 
 def band_plan_rows(n_rows: int, n_bands: int, q: int,
@@ -218,12 +237,157 @@ def _band_linear(x12, metrics, gamma, color_format):
   return phases_to_planar(out12)
 
 
+@partial(jax.jit, static_argnames=("b", "fmt", "ids_format",
+                                   "work_dtype", "pattern", "cc",
+                                   "stride", "intensity",
+                                   "light_adapt", "color_adapt",
+                                   "tonemap"))
+def _banded_scan_step(raws, prev, t, b, fmt, ids_format, work_dtype,
+                      pattern, cc, stride, intensity, light_adapt,
+                      color_adapt, tonemap):
+  """The banded pipeline through the gamma/u8 stage as ONE program: two
+  ``lax.scan`` loops over equal row bands (decode+demosaic+samples ->
+  Reinhard map) around the global reductions (EMA metering, per-image
+  max), then the full-size gamma finish on the merged phase form.
+  Returns (metrics, u8 phase-form (N, 12, hh, wh)); the interleave/
+  transform/yuv finish runs in ``_banded_scan_finish`` (own program —
+  layout reasons documented there). Per-op program size stays
+  band-sized — the reason 8K can't compile as one fused step — while
+  the set costs TWO dispatches instead of the loop driver's ~3×n_bands
+  (per-dispatch tunnel latency dominated the 8K wall clock; same
+  values as the loop driver)."""
+  wd = types.canonical_dtype(work_dtype)
+  n, h, wb = raws.shape
+  w = {"packed12": wb * 2 // 3, "packed16": wb // 2}.get(fmt, wb)
+  hh, wh = h // 2, w // 2
+  nb = hh // b
+  sq = max(stride // 2, 1)
+  weights = _demosaic_tables(pattern, "mhc")
+  from taichi_image_tpu.ops.pallas import demosaic as pallas_dm
+  use_pallas = pallas_dm.pallas_available(b + 2, wh)
+
+  # one phase row (= 2 full-res raw rows) of halo; zeros at image edges
+  raws_p = jnp.pad(raws, ((0, 0), (2, 2), (0, 0)))
+
+  def body_demosaic(_, i):
+    raw_band = jax.lax.dynamic_slice_in_dim(raws_p, 2 * b * i,
+                                            2 * b + 4, axis=1)
+    phases = load_raw_phases(raw_band, fmt, work_dtype, ids_format)
+    if use_pallas:
+      in_bf16 = phases.dtype == jnp.bfloat16
+      tiles = pallas_dm.tiling_for(b + 2, wh, in_bf16=in_bf16)
+      ph_in = phases if in_bf16 else phases.astype(jnp.float32)
+      out = pallas_dm.demosaic_stencil(ph_in, weights,
+                                       *tiles)[:, :, 1:b + 1]
+    else:
+      num = jax.lax.conv_general_dilated(
+          phases.astype(jnp.float32), jnp.asarray(weights), (1, 1),
+          ((0, 0), (1, 1)),  # rows VALID (halo provides context)
+          dimension_numbers=("NCHW", "OIHW", "NCHW"),
+          precision=jax.lax.Precision.HIGHEST,
+          preferred_element_type=jnp.float32)
+      full = weights.sum(axis=(1, 2, 3))
+      out = num * jnp.asarray(1.0 / full,
+                              jnp.float32)[None, :, None, None]
+    # edge_renorm_factor accepts traced gates (the spatial-sharding
+    # path uses the same form) — top/bottom strips fire per band index
+    out = out * edge_renorm_factor(weights, b, wh, is_top=(i == 0),
+                                   is_bot=(i == nb - 1))
+    if cc is not None:
+      ccm = jnp.asarray(np.array(cc, np.float32).reshape(3, 3))
+      x = out.reshape(n, 4, 3, b, wh)
+      x = jnp.einsum("npchw,dc->npdhw", x, ccm,
+                     precision=jax.lax.Precision.HIGHEST)
+      out = x.reshape(n, 12, b, wh)
+    x12 = jnp.clip(out, 0.0, 1.0).astype(wd)
+    return 0, (x12, subsample_hw(x12[:, 0:3], sq, sq))
+
+  _, (x12_b, samp_b) = jax.lax.scan(body_demosaic, 0, jnp.arange(nb))
+
+  # (nb, n, 3, hs, ws) -> (n, 3, nb*hs, ws): same sample values/order
+  # as the loop driver's per-band concatenate
+  samples = jnp.moveaxis(samp_b, 0, 2)
+  samples = samples.reshape(n, 3, -1, samples.shape[-1])
+  n_total = samples.shape[0] * samples.shape[2] * samples.shape[3]
+  metrics = metering_update_ca(samples, prev, t, n_total=n_total)
+
+  mxu = wd == types.bf16
+
+  # The band merge back to the full phase form is ONE transpose (XLA
+  # folds it into the finish program's consumers). The two banded-
+  # output alternatives both fail on this backend (measured): a u8
+  # dynamic_update_slice carry through the scan is scalarized (~64 s
+  # for a trivial 9-band loop at 864x1536), and a stacked
+  # (nb, n, 3, 2b, w) u8 scan output gets a pathological 28x-padded
+  # layout at 8K (15.8 GB — OOM). bf16 phase-form stacking is the
+  # shape this toolchain handles.
+  def _merge(bands):
+    return jnp.moveaxis(bands, 0, 2).reshape(n, 12, hh, wh)
+
+  if tonemap == "linear":
+    return metrics, _merge(x12_b), jnp.zeros((n, 1, 1, 1), jnp.float32)
+
+  kernel_ok = False
+  if mxu and isinstance(color_adapt, float) and color_adapt == 0.0:
+    from taichi_image_tpu.ops.pallas.reinhard import (
+        reinhard_bf16_available, reinhard_map_bf16_dma)
+    kernel_ok = reinhard_bf16_available(12, b, wh)
+
+  def body_map(_, x):
+    if kernel_ok:
+      from taichi_image_tpu.ops.pallas.reinhard import (
+          reinhard_map_bf16_dma)
+      return 0, reinhard_map_bf16_dma(x, metrics, intensity,
+                                      light_adapt)
+    p = reinhard_map_ca(x.reshape(n, 4, 3, b, wh), metrics, intensity,
+                        light_adapt, color_adapt)
+    band_max = jnp.max(p, axis=tuple(range(1,
+                                           p.ndim))).reshape(n, 1, 1, 1)
+    return 0, (p.astype(wd).reshape(n, 12, b, wh), band_max)
+
+  _, (p_b, mx_b) = jax.lax.scan(body_map, 0, x12_b)
+  return metrics, _merge(p_b), jnp.max(mx_b, axis=0)
+
+
+# Largest phase-row extent of one finish-chunk program: the gamma+
+# interleave fusion is proven at 4K (hh=1080) and an 8K-sized program
+# (hh=2160) fails the remote compiler outright, so chunks stay 4K-class.
+_FINISH_CHUNK_ROWS = 1088
+
+
+@partial(jax.jit, static_argnames=("tonemap", "gamma", "band_fmt",
+                                   "mxu", "r0", "r1"))
+def _banded_scan_finish_chunk(merged, metrics, max_out, tonemap, gamma,
+                              band_fmt, mxu, r0, r1):
+  """Gamma/u8 quantization + interleave (or phase-form I420) for phase
+  rows [r0, r1) of the scan driver's merged working-dtype output, as
+  its own 4K-class program. Constraints measured on this toolchain:
+  the gamma MUST stay fused with the interleave (a u8 6-d interleave
+  transpose whose input is materialized u8 — in-program scan ys or a
+  standalone program's u8 parameter — gets a pathological 28x-padded
+  layout: 15.8 GB OOM at 8K, 1.6 s at 4K), and no interleave program
+  compiles at full 8K extent at all, so the finish runs in <=
+  ``_FINISH_CHUNK_ROWS`` chunks. Chunk boundaries are phase rows, so
+  2x2 chroma blocks never straddle a chunk."""
+  n, _, _, wh = merged.shape
+  chunk = merged[:, :, r0:r1]
+  if tonemap == "linear":
+    out12 = linear_apply_ca(chunk.reshape(n, 4, 3, r1 - r0, wh), metrics,
+                            gamma).reshape(n, 12, r1 - r0, wh)
+  else:
+    out12 = reinhard_gamma_ca(chunk, max_out,
+                              gamma).reshape(n, 12, r1 - r0, wh)
+  if band_fmt == "yuv420":  # no-transform fast path: phase-form convert
+    return yuv420_from_phases_u8(out12, mxu=mxu)
+  return phases_to_planar(out12)
+
+
 def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
                    ids_format=False, work_dtype, pattern, cc=None,
                    stride=8, gamma=1.0, intensity=1.0, light_adapt=1.0,
                    color_adapt=0.0, tonemap="reinhard",
                    color_format="rgb", resize_plan=None,
-                   transform=ImageTransform.none):
+                   transform=ImageTransform.none, driver="auto"):
   """Run the fused ISP pipeline over ``n_bands`` sequential row bands.
 
   Same arguments/semantics as ``fused_isp_step``. Returns
@@ -243,6 +407,15 @@ def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
   ``transform`` recomposes on the assembled output (one planar u8
   permutation program at output size — band-local transforms would
   reorder the band layout itself).
+
+  ``driver``: "auto" (lax.scan single-program driver when the row count
+  admits equal stride-and-kernel-aligned bands and there is no resize;
+  the Python-loop driver otherwise), or "loop"/"scan" to force one.
+  The scan driver runs the whole set as ONE dispatch — the loop
+  driver's ~3×n_bands dispatches dominate 8K wall clock through the
+  remote tunnel — with per-op program size still band-sized. Values
+  match the loop driver exactly (same per-band programs; the metering
+  sums associate identically), pinned by tests/test_large.py.
   """
   if tonemap not in ("reinhard", "linear"):
     raise ValueError(f"unknown tonemap {tonemap}")
@@ -250,6 +423,8 @@ def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
     raise ValueError(f"unknown color_format {color_format!r}")
   if stride % 2 != 0:
     raise ValueError("banded processing needs an even metering stride")
+  if driver not in ("auto", "loop", "scan"):
+    raise ValueError(f"unknown driver {driver!r}")
   raws = jnp.asarray(raws)
   h = raws.shape[-2]
   wd = types.canonical_dtype(work_dtype)
@@ -258,6 +433,38 @@ def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
   band_fmt = (color_format if (resize_plan is None
                                and transform == ImageTransform.none)
               else "rgb")
+
+  if driver != "loop" and resize_plan is None:
+    b_scan = scan_band_size(h // 2, n_bands,
+                            int(np.lcm(max(stride // 2, 1), 16)))
+    if b_scan is not None:
+      prev = jnp.array(np.asarray(prev), jnp.float32)
+      metrics, merged, max_out = _banded_scan_step(
+          raws, prev, jnp.float32(t), b_scan, fmt, ids_format, wd,
+          pattern, cc, stride, float(intensity),
+          float(light_adapt), float(color_adapt), tonemap)
+      hh = h // 2
+      chunks = band_plan_rows(hh, -(-hh // _FINISH_CHUNK_ROWS), 1)
+      outs = [_banded_scan_finish_chunk(merged, metrics, max_out,
+                                        tonemap, float(gamma), band_fmt,
+                                        wd == types.bf16, r0, r1)
+              for (r0, r1) in chunks]
+      if band_fmt == "yuv420":
+        y = jnp.concatenate([o[0] for o in outs], axis=1)
+        uv = jnp.concatenate([o[1] for o in outs], axis=2)
+        return metrics, (y, uv)
+      out = jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
+      if transform != ImageTransform.none:
+        out = _jit_transform_assembled(out, transform)
+      if color_format == "yuv420":
+        return metrics, _jit_yuv_assembled(out)
+      return metrics, out
+  if driver == "scan":
+    raise ValueError(
+        "scan driver needs equal aligned bands and no resize_plan — "
+        f"no equal-band plan for {h // 2} half-res rows "
+        f"(q={int(np.lcm(max(stride // 2, 1), 16))}) or resize set; "
+        "use driver='auto' or 'loop'")
 
   # one phase row (= 2 full-res raw rows) of halo; zeros at image edges
   raws_p = jnp.pad(raws, ((0, 0), (2, 2), (0, 0)))

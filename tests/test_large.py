@@ -227,3 +227,69 @@ def test_banded_shape_fuzz():
       g = np.asarray(got)
       assert g.shape == (n, 3, eh, ew), (trial, g.shape, (n, 3, eh, ew))
       _assert_band_equal(g, np.asarray(want))
+
+
+# ---------------------------------------------------------------------------
+# Round-3 late: lax.scan driver (equal aligned bands, whole set in two
+# programs). Values must be BITWISE-equal to the loop driver (same
+# per-band programs, same metering math; pinned on CPU here and raced
+# on chip in tools/probe_large.py).
+# ---------------------------------------------------------------------------
+
+
+def test_scan_band_size_properties():
+  # 8K: hh=2160 at q=16 -> 240 (9 equal bands), <= loop per-band 272
+  assert large.scan_band_size(2160, 8, 16) == 240
+  assert 2160 % large.scan_band_size(2160, 8, 16) == 0
+  # no multiple-of-q divisor <= the loop band size -> None (loop driver)
+  assert large.scan_band_size(1080, 8, 16) is None  # 1080 % 16 != 0
+  assert large.scan_band_size(8, 4, 16) is None     # fewer rows than q
+  # single band when n_bands >= rows/q
+  assert large.scan_band_size(32, 16, 16) == 16
+
+
+def test_scan_driver_matches_loop_bitwise(monkeypatch):
+  """scan == loop BITWISE on u8 outputs (metrics to f32 ulps) across
+  rgb / yuv420 / transform / linear configs, including a multi-chunk
+  finish (chunk rows forced tiny)."""
+  import jax
+  from taichi_image_tpu import types
+  from taichi_image_tpu.ops.interpolate import ImageTransform
+
+  monkeypatch.setattr(large, "_FINISH_CHUNK_ROWS", 16)
+  raws = _raws(2, h=128, w=192, seed=3)
+  prev = np.zeros(9, np.float32)
+  cc = tuple(np.array([[1.2, -0.1, 0.0], [-0.05, 1.1, -0.05],
+                       [0.0, -0.1, 1.3]], np.float32).ravel())
+  kw = dict(n_bands=2, work_dtype=types.bf16, pattern=BayerPattern.RGGB,
+            cc=cc, gamma=0.9, intensity=1.5)
+  for extra in ({}, {"color_format": "yuv420"},
+                {"transform": ImageTransform.rotate_90,
+                 "tonemap": "linear"},
+                {"transform": ImageTransform.flip_vert,
+                 "color_format": "yuv420"}):
+    m_l, o_l = large.process_banded(raws, prev, 0.0, driver="loop",
+                                    **kw, **extra)
+    m_s, o_s = large.process_banded(raws, prev, 0.0, driver="scan",
+                                    **kw, **extra)
+    for a, b in zip(jax.tree_util.tree_leaves(o_l),
+                    jax.tree_util.tree_leaves(o_s)):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(m_l), np.asarray(m_s),
+                               rtol=0, atol=1e-6)
+
+
+def test_scan_driver_misuse_raises():
+  from taichi_image_tpu import types
+  raws = _raws(2, h=64, w=96)
+  prev = np.zeros(9, np.float32)
+  with pytest.raises(ValueError, match="driver"):
+    large.process_banded(raws, prev, 0.0, n_bands=2,
+                         work_dtype=types.bf16,
+                         pattern=BayerPattern.RGGB, driver="warp")
+  # forced scan with a resize plan: no equal-band scan path exists
+  with pytest.raises(ValueError, match="scan driver"):
+    large.process_banded(raws, prev, 0.0, n_bands=2,
+                         work_dtype=types.bf16,
+                         pattern=BayerPattern.RGGB, driver="scan",
+                         resize_plan=((48, 32), None))
