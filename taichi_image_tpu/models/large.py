@@ -116,16 +116,28 @@ def _band_demosaic(raw_band, fmt, ids_format, work_dtype, pattern, cc,
   n, _, hb2, wh = phases.shape
   hb = hb2 - 2
   weights = _demosaic_tables(pattern, "mhc")
+  from taichi_image_tpu.ops.bayer import _stencil_finish_spec
   from taichi_image_tpu.ops.pallas import demosaic as pallas_dm
   if pallas_dm.pallas_available(hb2, wh):
     # Pallas stencil on the halo'd band (claimed shape hb2); interior
     # rows 1..hb read the real halo values exactly like the VALID conv,
-    # and the halo rows' own outputs are discarded
+    # and the halo rows' own outputs are discarded. The fused finish
+    # (renorm + CCM + clip + cast in-kernel, like the 4K step) emits
+    # FINAL x12 with band-local edge-strip rows: the true image top/
+    # bottom sit at kernel rows 1/hb when this band touches them, and
+    # nowhere (-1) for interior bands — the halo rows' wrongly-factored
+    # outputs are the discarded ones. Skips the f32-numerator
+    # materialization + external renorm/CCM/clip pass (~4.8 GB of HBM
+    # traffic at 8K, measured as the main banded-vs-4x4K device gap).
     in_bf16 = phases.dtype == jnp.bfloat16
-    tiles = pallas_dm.tiling_for(hb2, wh, in_bf16=in_bf16)
+    fin = _stencil_finish_spec(weights, hb2, wh, cc, wd,
+                               top_row=1 if is_top else -1,
+                               bot_row=hb if is_bot else -1)
+    tiles = pallas_dm.tiling_for(hb2, wh, in_bf16=in_bf16,
+                                 out_bf16=wd == types.bf16)
     ph_in = phases if in_bf16 else phases.astype(jnp.float32)
-    out = pallas_dm.demosaic_stencil(ph_in, weights, *tiles)[:, :,
-                                                             1:hb + 1]
+    x12 = pallas_dm.demosaic_stencil(ph_in, weights, *tiles,
+                                     finish=fin)[:, :, 1:hb + 1]
   else:
     num = jax.lax.conv_general_dilated(
         phases.astype(jnp.float32), jnp.asarray(weights), (1, 1),
@@ -135,15 +147,15 @@ def _band_demosaic(raw_band, fmt, ids_format, work_dtype, pattern, cc,
         preferred_element_type=jnp.float32)
     full = weights.sum(axis=(1, 2, 3))
     out = num * jnp.asarray(1.0 / full, jnp.float32)[None, :, None, None]
-  out = out * edge_renorm_factor(weights, hb, wh, is_top=is_top,
-                                 is_bot=is_bot)
-  if cc is not None:
-    ccm = jnp.asarray(np.array(cc, np.float32).reshape(3, 3))
-    x = out.reshape(n, 4, 3, hb, wh)
-    x = jnp.einsum("npchw,dc->npdhw", x, ccm,
-                   precision=jax.lax.Precision.HIGHEST)
-    out = x.reshape(n, 12, hb, wh)
-  x12 = jnp.clip(out, 0.0, 1.0).astype(wd)
+    out = out * edge_renorm_factor(weights, hb, wh, is_top=is_top,
+                                   is_bot=is_bot)
+    if cc is not None:
+      ccm = jnp.asarray(np.array(cc, np.float32).reshape(3, 3))
+      x = out.reshape(n, 4, 3, hb, wh)
+      x = jnp.einsum("npchw,dc->npdhw", x, ccm,
+                     precision=jax.lax.Precision.HIGHEST)
+      out = x.reshape(n, 12, hb, wh)
+    x12 = jnp.clip(out, 0.0, 1.0).astype(wd)
   if not emit_sample:  # resize mode meters the RESIZED rgb instead
     return x12
   from taichi_image_tpu.ops.bayer import subsample_hw
@@ -274,11 +286,30 @@ def _banded_scan_step(raws, prev, t, b, fmt, ids_format, work_dtype,
                                             2 * b + 4, axis=1)
     phases = load_raw_phases(raw_band, fmt, work_dtype, ids_format)
     if use_pallas:
+      # fused-finish stencil (renorm + CCM + clip + cast in-kernel,
+      # like the 4K step and the loop driver's _band_demosaic). The
+      # edge-strip rows are static per band KIND (first/interior/last),
+      # so the body switches between the three compiled kernels on the
+      # traced band index.
+      from taichi_image_tpu.ops.bayer import _stencil_finish_spec
       in_bf16 = phases.dtype == jnp.bfloat16
-      tiles = pallas_dm.tiling_for(b + 2, wh, in_bf16=in_bf16)
+      tiles = pallas_dm.tiling_for(b + 2, wh, in_bf16=in_bf16,
+                                   out_bf16=wd == types.bf16)
       ph_in = phases if in_bf16 else phases.astype(jnp.float32)
-      out = pallas_dm.demosaic_stencil(ph_in, weights,
-                                       *tiles)[:, :, 1:b + 1]
+
+      def _kind(top_row, bot_row):
+        fin = _stencil_finish_spec(weights, b + 2, wh, cc, wd,
+                                   top_row=top_row, bot_row=bot_row)
+        return lambda ph: pallas_dm.demosaic_stencil(ph, weights,
+                                                     *tiles, finish=fin)
+
+      if nb == 1:
+        x12full = _kind(1, b)(ph_in)
+      else:
+        idx = jnp.where(i == 0, 0, jnp.where(i == nb - 1, 2, 1))
+        x12full = jax.lax.switch(
+            idx, [_kind(1, -1), _kind(-1, -1), _kind(-1, b)], ph_in)
+      x12 = x12full[:, :, 1:b + 1]
     else:
       num = jax.lax.conv_general_dilated(
           phases.astype(jnp.float32), jnp.asarray(weights), (1, 1),
@@ -289,17 +320,17 @@ def _banded_scan_step(raws, prev, t, b, fmt, ids_format, work_dtype,
       full = weights.sum(axis=(1, 2, 3))
       out = num * jnp.asarray(1.0 / full,
                               jnp.float32)[None, :, None, None]
-    # edge_renorm_factor accepts traced gates (the spatial-sharding
-    # path uses the same form) — top/bottom strips fire per band index
-    out = out * edge_renorm_factor(weights, b, wh, is_top=(i == 0),
-                                   is_bot=(i == nb - 1))
-    if cc is not None:
-      ccm = jnp.asarray(np.array(cc, np.float32).reshape(3, 3))
-      x = out.reshape(n, 4, 3, b, wh)
-      x = jnp.einsum("npchw,dc->npdhw", x, ccm,
-                     precision=jax.lax.Precision.HIGHEST)
-      out = x.reshape(n, 12, b, wh)
-    x12 = jnp.clip(out, 0.0, 1.0).astype(wd)
+      # edge_renorm_factor accepts traced gates (the spatial-sharding
+      # path uses the same form) — top/bottom strips fire per band index
+      out = out * edge_renorm_factor(weights, b, wh, is_top=(i == 0),
+                                     is_bot=(i == nb - 1))
+      if cc is not None:
+        ccm = jnp.asarray(np.array(cc, np.float32).reshape(3, 3))
+        x = out.reshape(n, 4, 3, b, wh)
+        x = jnp.einsum("npchw,dc->npdhw", x, ccm,
+                       precision=jax.lax.Precision.HIGHEST)
+        out = x.reshape(n, 12, b, wh)
+      x12 = jnp.clip(out, 0.0, 1.0).astype(wd)
     return 0, (x12, subsample_hw(x12[:, 0:3], sq, sq))
 
   _, (x12_b, samp_b) = jax.lax.scan(body_demosaic, 0, jnp.arange(nb))

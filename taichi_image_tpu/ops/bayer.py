@@ -307,10 +307,21 @@ def edge_renorm_factor(weights, hh, wh, is_top=True, is_bot=True):
   return f
 
 
-def _stencil_finish_spec(weights, hh, wh, cc, out_dtype):
+def _stencil_finish_spec(weights, hh, wh, cc, out_dtype, top_row=0,
+                         bot_row=None):
   """Static constants for the Pallas stencil's fused finish stage: the
   same per-channel border factors edge_renorm_factor builds (full/strip
-  sums, corner corrections) plus the optional CCM, as numpy/floats."""
+  sums, corner corrections) plus the optional CCM, as numpy/floats.
+
+  ``top_row``/``bot_row``: kernel-frame row indices where the top/bottom
+  drop-tap strips fire (defaults: rows 0 and hh-1 — a whole image).
+  Row-band callers pass the band-local position of the TRUE image edge
+  (or -1 so the strip never fires): a halo'd interior band has no image
+  edge at all, the first band's image top sits at kernel row 1 (below
+  its zero halo row), etc. Column factors always fire (wh is the full
+  image width in every band)."""
+  if bot_row is None:
+    bot_row = hh - 1
   full, top, bottom, left, right = _edge_sums(weights, hh, wh)
   t_mid, b_mid = top[:, 1], bottom[:, 1]
   l_mid, r_mid = left[:, 1], right[:, 1]
@@ -325,7 +336,8 @@ def _stencil_finish_spec(weights, hh, wh, cc, out_dtype):
       (full / br) / (botf * rightf),
   ]).astype(np.float32)
   ccm = None if cc is None else np.array(cc, np.float32).reshape(3, 3)
-  return dict(hh=hh, wh=wh, topf=topf.astype(np.float32),
+  return dict(hh=hh, wh=wh, top_row=int(top_row), bot_row=int(bot_row),
+              topf=topf.astype(np.float32),
               botf=botf.astype(np.float32),
               leftf=leftf.astype(np.float32),
               rightf=rightf.astype(np.float32), cvals=cvals, cc=ccm,

@@ -162,7 +162,11 @@ def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
                                  finish["leftf"], finish["rightf"])
     cvals = finish["cvals"]  # (4, 12): tl, tr, bl, br corrections
     ccm = finish["cc"]       # None or 3x3 numpy
-    on_top, on_bot = rg == 0, rg == hh_img - 1
+    # top/bottom strips fire at the spec's kernel-frame rows (whole
+    # image: 0 / hh-1; row bands: the band-local image-edge position or
+    # -1 = never — see ops/bayer._stencil_finish_spec)
+    on_top = rg == finish["top_row"]
+    on_bot = rg == finish["bot_row"]
     on_left, on_right = cg == 0, cg == wh_img - 1
     masks = (on_top & on_left, on_top & on_right,
              on_bot & on_left, on_bot & on_right)

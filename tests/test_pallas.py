@@ -327,3 +327,45 @@ def test_fused_step_front_fused_yuv420_and_gamma(monkeypatch, rng):
   for got, want in ((y_pl, y_ref), (uv_pl, uv_ref)):
     d = np.abs(np.asarray(got).astype(int) - np.asarray(want).astype(int))
     assert d.max() <= 1, d.max()
+
+
+# ---------------------------------------------------------------------------
+# Row-band fused finish (round 3, late): the banded drivers run the
+# stencil's fused finish with band-local edge-strip rows (top_row /
+# bot_row in _stencil_finish_spec). Bands assembled from halo'd band
+# kernels must reproduce the whole-image demosaic.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("cc", [None, "ccm"])
+def test_banded_fused_finish_matches_unbanded(cc, rng):
+  hh, wh, b = 16, 256, 8  # two bands of 8 phase rows
+  ccv = (None if cc is None else
+         tuple(np.array([[1.2, -0.1, 0.0], [-0.05, 1.1, -0.05],
+                         [0.0, -0.1, 1.3]], np.float32).ravel()))
+  phases = jnp.asarray(rng.random((1, 4, hh, wh), np.float32),
+                       jnp.bfloat16)
+  want = bayer.demosaic_phases(phases, bayer.BayerPattern.RGGB, cc=ccv,
+                               out_dtype=jnp.bfloat16, backend="xla")
+
+  weights = bayer._demosaic_tables(bayer.BayerPattern.RGGB, "mhc")
+  padded = jnp.pad(phases, ((0, 0), (0, 0), (1, 1), (0, 0)))
+  outs = []
+  for i, r0 in enumerate(range(0, hh, b)):
+    band = padded[:, :, r0:r0 + b + 2]  # 1 halo phase row each side
+    is_top, is_bot = i == 0, r0 + b == hh
+    fin = bayer._stencil_finish_spec(weights, b + 2, wh, ccv,
+                                     jnp.bfloat16,
+                                     top_row=1 if is_top else -1,
+                                     bot_row=b if is_bot else -1)
+    tiles = pallas_dm.tiling_for(b + 2, wh, in_bf16=True, out_bf16=True)
+    x12 = pallas_dm.demosaic_stencil(band, weights, *tiles, finish=fin,
+                                     interpret=True)[:, :, 1:b + 1]
+    outs.append(x12)
+  got = jnp.concatenate(outs, axis=2)
+  g = np.asarray(got, np.float32)
+  w = np.asarray(want, np.float32)
+  if cc is None:
+    np.testing.assert_array_equal(g, w)  # bitwise: same taps, same order
+  else:
+    np.testing.assert_allclose(g, w, atol=6e-3)  # CCM assoc, 1 bf16 ulp

@@ -330,6 +330,39 @@ def main():
   record("i420_mxu_dot_vs_twochain_onchip", dy <= 1 and duv <= 1,
          f"u8 max|dY|={dy} max|dUV|={duv}")
 
+  # 8e. Banded drivers (round 3, late): the loop driver's fused-finish
+  #     band stencil vs the forced-XLA band path (<=1 u8 count — the
+  #     in-kernel CCM associates differently), and the lax.scan driver
+  #     vs the loop driver (BITWISE — same per-band programs), on chip.
+  try:
+    from taichi_image_tpu.models import large as large_mod
+    raws_b = jax.device_put(rng.integers(0, 256, size=(2, 128, 288),
+                                         dtype=np.uint8))
+    prevz = np.zeros(9, np.float32)
+    ccb = tuple(np.array([[1.2, -0.1, 0.0], [-0.05, 1.1, -0.05],
+                          [0.0, -0.1, 1.3]], np.float32).ravel())
+    kwb = dict(n_bands=2, work_dtype=types.bf16,
+               pattern=BayerPattern.RGGB, cc=ccb, gamma=0.9)
+    mb1, ob1 = large_mod.process_banded(raws_b, prevz, 0.0,
+                                        driver="loop", **kwb)
+    with no_pallas():
+      mb2, ob2 = large_mod.process_banded(raws_b, prevz, 0.0,
+                                          driver="loop", **kwb)
+    db = np.abs(np.asarray(ob1).astype(int) - np.asarray(ob2).astype(int))
+    dmb = float(np.abs(np.asarray(mb1) - np.asarray(mb2)).max())
+    record("banded_fused_finish_vs_xla_onchip",
+           int(db.max()) <= 1 and dmb < 1e-5,
+           f"u8 max|diff|={int(db.max())} metrics max|diff|={dmb:.2e}")
+    mb3, ob3 = large_mod.process_banded(raws_b, prevz, 0.0,
+                                        driver="scan", **kwb)
+    ok_scan = np.array_equal(np.asarray(ob3), np.asarray(ob1))
+    dms = float(np.abs(np.asarray(mb3) - np.asarray(mb1)).max())
+    record("banded_scan_vs_loop_onchip", ok_scan and dms < 1e-6,
+           f"u8 bitwise={ok_scan} metrics max|diff|={dms:.2e}")
+  except Exception as e:
+    record("banded_fused_finish_vs_xla_onchip", False,
+           f"{type(e).__name__}: {str(e)[:90]}")
+
   # 9. CLI end-to-end ON the chip (tonemap_scan → JPEG grid) — the
   #    committed on-TPU CLI verification artifact (round-2 VERDICT weak
   #    #7: the CPU-only test_scripts.py run was the only CLI evidence).
