@@ -41,7 +41,6 @@ from taichi_image_tpu.models.camera_isp import (_plan_scales,
                                                 linear_apply_ca,
                                                 load_raw_phases,
                                                 metering_update_ca,
-                                                planar_from_phases_transformed,
                                                 reinhard_gamma_ca,
                                                 reinhard_map_ca,
                                                 yuv420_from_phases_u8,
