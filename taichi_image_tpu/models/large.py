@@ -24,6 +24,13 @@ the unbanded ``fused_isp_step`` within 1 u8 count on a tiny fraction of
 pixels (the staged metering reduction is a separately-compiled program
 whose f32 summation associates differently — metrics agree to the last
 ulp; tests/test_large.py pins this contract).
+
+Two drivers share the per-band programs: a Python LOOP (any shape,
+composes with the resize policy) and a ``lax.scan`` single-program form
+(``_banded_scan_step``, auto-selected when the row count admits equal
+stride-and-kernel-aligned bands and there is no resize) — bitwise-equal
+outputs, equal wall clock at 6×8K, ~5× fewer programs and ~3× faster
+cold-start for the scan form (docs/PERFORMANCE.md "8K banded driver").
 """
 
 from __future__ import annotations
@@ -256,17 +263,20 @@ def _band_linear(x12, metrics, gamma, color_format):
 def _banded_scan_step(raws, prev, t, b, fmt, ids_format, work_dtype,
                       pattern, cc, stride, intensity, light_adapt,
                       color_adapt, tonemap):
-  """The banded pipeline through the gamma/u8 stage as ONE program: two
-  ``lax.scan`` loops over equal row bands (decode+demosaic+samples ->
-  Reinhard map) around the global reductions (EMA metering, per-image
-  max), then the full-size gamma finish on the merged phase form.
-  Returns (metrics, u8 phase-form (N, 12, hh, wh)); the interleave/
-  transform/yuv finish runs in ``_banded_scan_finish`` (own program —
-  layout reasons documented there). Per-op program size stays
-  band-sized — the reason 8K can't compile as one fused step — while
-  the set costs TWO dispatches instead of the loop driver's ~3×n_bands
-  (per-dispatch tunnel latency dominated the 8K wall clock; same
-  values as the loop driver)."""
+  """The banded pipeline through the Reinhard map as ONE program: two
+  ``lax.scan`` loops over equal row bands (decode + fused-finish
+  demosaic + samples -> bf16 map kernel) around the global reductions
+  (EMA metering, per-image max). Returns (metrics, merged working-dtype
+  phase form (N, 12, hh, wh), max_out); the gamma/u8 + interleave/yuv
+  finish runs in ``_banded_scan_finish_chunk`` programs (layout
+  constraints documented there). Per-op program size stays band-sized —
+  the reason 8K can't compile as one fused step — and the set costs
+  ~5 programs instead of the loop driver's ~3×n_bands. Wall clock
+  measures EQUAL to the loop driver at 6×8K (async dispatch already
+  overlapped the loop's launches — docs/PERFORMANCE.md); the scan form
+  wins on program count and ~3× on cold-start compile time. Values are
+  BITWISE-equal to the loop driver (tests/test_large.py, verify_tpu
+  banded_scan_vs_loop_onchip)."""
   wd = types.canonical_dtype(work_dtype)
   n, h, wb = raws.shape
   w = {"packed12": wb * 2 // 3, "packed16": wb // 2}.get(fmt, wb)
