@@ -61,6 +61,13 @@ __all__ = ["process_banded", "band_plan", "band_plan_rows",
            "scan_band_size"]
 
 
+# Largest per-band phase-row extent any driver will compile: 272-row
+# bands (8K at n_bands=8) are proven on this environment's remote
+# compiler; 544-row bands (8K at n_bands=4) crash it. process_banded
+# raises n_bands until bands fit this bound.
+_BAND_ROWS_MAX = 280
+
+
 def scan_band_size(n_rows: int, n_bands: int, q: int):
   """Equal-band size for the lax.scan driver: the largest multiple of
   ``q`` that DIVIDES ``n_rows`` and does not exceed the loop driver's
@@ -451,11 +458,14 @@ def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
   ``driver``: "auto" (lax.scan single-program driver when the row count
   admits equal stride-and-kernel-aligned bands and there is no resize;
   the Python-loop driver otherwise), or "loop"/"scan" to force one.
-  The scan driver runs the whole set as ONE dispatch — the loop
-  driver's ~3×n_bands dispatches dominate 8K wall clock through the
-  remote tunnel — with per-op program size still band-sized. Values
-  match the loop driver exactly (same per-band programs; the metering
-  sums associate identically), pinned by tests/test_large.py.
+  The two drivers produce BITWISE-equal outputs and equal wall clock;
+  the scan form runs ~5× fewer programs and cold-starts ~3× faster
+  (docs/PERFORMANCE.md "8K banded driver").
+
+  ``n_bands`` is treated as a MINIMUM: it is raised so no band exceeds
+  ``_BAND_ROWS_MAX`` phase rows — band programs beyond that size crash
+  this environment's remote compiler (an 8K call with the default
+  n_bands=4 would otherwise die with an opaque compile error).
   """
   if tonemap not in ("reinhard", "linear"):
     raise ValueError(f"unknown tonemap {tonemap}")
@@ -467,6 +477,7 @@ def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
     raise ValueError(f"unknown driver {driver!r}")
   raws = jnp.asarray(raws)
   h = raws.shape[-2]
+  n_bands = max(n_bands, -(-(h // 2) // _BAND_ROWS_MAX))
   wd = types.canonical_dtype(work_dtype)
   # per-band conversion only on the no-resize/no-transform phase path;
   # otherwise bands stay planar RGB and convert on the assembled output

@@ -293,3 +293,16 @@ def test_scan_driver_misuse_raises():
                          work_dtype=types.bf16,
                          pattern=BayerPattern.RGGB, driver="scan",
                          resize_plan=((48, 32), None))
+
+
+def test_n_bands_clamped_to_compilable_band_size():
+  """n_bands is a minimum: 8K-class row counts are split so no band
+  exceeds _BAND_ROWS_MAX phase rows (larger band programs crash the
+  remote compiler; the default n_bands=4 at 8K must not)."""
+  # loop plan at 8K with n_bands=4 after the clamp: 8 bands of <=280
+  eff = max(4, -(-2160 // large._BAND_ROWS_MAX))
+  assert eff == 8
+  plan = large.band_plan(2160, eff)
+  assert all(r1 - r0 <= large._BAND_ROWS_MAX for r0, r1 in plan)
+  # scan plan under the same clamp picks 240-row bands
+  assert large.scan_band_size(2160, eff, 16) == 240
