@@ -543,6 +543,44 @@ class _ISPBase:
   # The EMA metering vec9 is the only cross-frame state
   # (reference camera_isp.py:267,376-385; SURVEY.md §5 checkpoint/resume).
 
+  def auto_white_balance(self, strength: float = 1.0,
+                         max_gain: float = 8.0):
+    """Gray-world auto white balance from the EMA metering state.
+
+    The vec9 metering already carries the bounds-scaled per-channel
+    means (indices 6:9 — reference camera_isp.py:102-134 packs the same
+    stats); gray-world says a scene averages to neutral, so the per-
+    channel gains that equalize the means toward the green mean are
+    multiplied into ``white_balance`` (green gain stays 1, the
+    reference's convention: white_balance=[1.8, 1.0, 2.1]).
+
+    The means are measured AFTER the WB⊙CCM fold, so this is a feedback
+    loop exactly like a real rig's AWB: call it once per metering
+    update (or occasionally) and the gains converge as the post-WB
+    means equalize. WB takes effect only with ``correct_colors=True``
+    (the reference applies WB solely via the CCM fold,
+    camera_isp.py:360-369). ``strength`` in (0, 1] damps each update
+    (gains**strength); gains clamp to [1/max_gain, max_gain].
+
+    No reference counterpart (the reference ships static WB only) —
+    a framework extension riding the existing metering collective, so
+    it works unchanged under camera sharding.
+
+    Returns the new white_balance (numpy, length 3). Raises if no
+    frames have been metered yet."""
+    if self.metrics is None:
+      raise ValueError("auto_white_balance needs metering state — "
+                       "process at least one frame set first")
+    means = np.asarray(self.metrics)[6:9].astype(np.float64)
+    if not np.isfinite(means).all() or (means <= 1e-6).any():
+      raise ValueError(f"degenerate channel means {means} — scene too "
+                       "dark or metering not seeded")
+    gains = means[1] / means  # -> green gain exactly 1
+    gains = gains ** float(strength)
+    wb = np.clip(self.white_balance * gains, 1.0 / max_gain, max_gain)
+    self.white_balance = wb / wb[1]  # keep the G==1 convention
+    return self.white_balance
+
   def state_dict(self):
     """Serializable pipeline state (numpy)."""
     return {"metrics": None if self.metrics is None

@@ -625,3 +625,50 @@ def test_fused_step_shape_fuzz():
     assert out.dtype == jnp.uint8
     assert np.isfinite(np.asarray(m)).all(), trial
     assert np.asarray(out).std() > 0, trial
+
+
+# ---------------------------------------------------------------------------
+# Gray-world auto white balance (framework extension — no reference
+# counterpart; rides the EMA metering rgb means, vec9 indices 6:9).
+# ---------------------------------------------------------------------------
+
+
+def _casted_raws(cast, h=64, w=96, n=2, seed=5):
+  """RAW batch of a scene with a known per-channel color cast."""
+  img = make_test_rgb(h, w, seed)
+  img = np.clip(img * np.asarray(cast)[None, None, :], 0,
+                1).astype(np.float32)
+  cfa = rgb_to_bayer_oracle(img, "RGGB")
+  raw = np.asarray(packed.encode12(cfa, scaled=True))
+  return np.stack([raw] * n)
+
+
+def test_auto_white_balance_converges():
+  """A blue-heavy cast drives the AWB loop: after a few process+awb
+  iterations the post-WB channel means equalize (relative spread well
+  under the starting cast) and the gains move the right way."""
+  raws = _casted_raws(cast=(0.5, 1.0, 1.6))
+  isp = Camera32(bayer.BayerPattern.RGGB, white_balance=[1.0, 1.0, 1.0],
+                 correct_colors=True,  # WB applies via the CCM fold
+                 color_correction=np.eye(3, dtype=np.float64),
+                 moving_alpha=1.0)  # no EMA damping: converge fast
+  spreads = []
+  for _ in range(6):
+    isp.process(raws)
+    means = np.asarray(isp.metrics)[6:9]
+    spreads.append(float(means.max() / means.min()))
+    isp.auto_white_balance()
+  wb = isp.white_balance
+  assert wb[1] == 1.0  # G==1 convention held
+  assert wb[0] > 1.5 and wb[2] < 0.8, wb  # boosts R, cuts B
+  assert spreads[-1] < 1.05 < spreads[0], spreads  # means equalized
+
+
+def test_auto_white_balance_guards():
+  isp = Camera32(bayer.BayerPattern.RGGB)
+  with pytest.raises(ValueError, match="metering state"):
+    isp.auto_white_balance()
+  raws = _casted_raws(cast=(1.0, 1.0, 1.0))
+  isp.process(raws)
+  wb = isp.auto_white_balance(max_gain=2.0)
+  assert (wb <= 2.0).all() and (wb >= 0.5).all()
