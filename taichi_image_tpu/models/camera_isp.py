@@ -121,9 +121,7 @@ class PlanarImage:
         (w_out, h_out), _ = plan
         return (h_out, w_out, 3)
       h, w_raw = raws1.shape[-2], raws1.shape[-1]
-      w = {"packed12": w_raw * 2 // 3,
-           "packed16": w_raw // 2}.get(fmt, w_raw)
-      return (h, w, 3)
+      return (h, decoded_width(fmt, w_raw), 3)
     if self._batch is not None:
       form, arr, _ = self._batch
       if form == "phases":
@@ -577,8 +575,11 @@ class _ISPBase:
                        "dark or metering not seeded")
     gains = means[1] / means  # -> green gain exactly 1
     gains = gains ** float(strength)
-    wb = np.clip(self.white_balance * gains, 1.0 / max_gain, max_gain)
-    self.white_balance = wb / wb[1]  # keep the G==1 convention
+    wb = self.white_balance * gains
+    wb = wb / wb[1]  # G==1 convention FIRST, then clamp (clamping
+    # before the renormalization could scale R/B back above max_gain
+    # whenever the stored G gain was != 1)
+    self.white_balance = np.clip(wb, 1.0 / max_gain, max_gain)
     return self.white_balance
 
   def state_dict(self):
@@ -812,8 +813,7 @@ class _ISPBase:
 
   def _resize_plan_key(self, raws, fmt):
     h, w_raw = raws.shape[-2], raws.shape[-1]
-    w = {"packed12": w_raw * 2 // 3, "packed16": w_raw // 2}.get(fmt, w_raw)
-    plan = self._resize_plan(h, w)
+    plan = self._resize_plan(h, decoded_width(fmt, w_raw))
     return plan if plan is None else (plan[0], plan[1])
 
 
@@ -911,6 +911,14 @@ def _jit_linear_phases(x12, metrics, gamma, transform):
 # 12-channel phase-RGB -> tonemap -> planar (N, 3, H, W) u8. See
 # taichi_image_tpu/ops/bayer.py (planar section).
 # --------------------------------------------------------------------------
+
+
+def decoded_width(fmt: str, w_raw: int) -> int:
+  """Decoded pixel width of a raw plane whose last dim is ``w_raw``
+  (bytes for the packed formats: 3 bytes -> 2 px for packed12, 2 bytes
+  -> 1 px for packed16; element count otherwise)."""
+  return {"packed12": w_raw * 2 // 3, "packed16": w_raw // 2}.get(fmt,
+                                                                  w_raw)
 
 
 def load_raw_phases(raws, fmt: str, work_dtype, ids_format: bool = False):

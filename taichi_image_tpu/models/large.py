@@ -45,6 +45,7 @@ from taichi_image_tpu import types
 from taichi_image_tpu.models.camera_isp import (_plan_scales,
                                                 _resize_from_phases,
                                                 _transform_planar,
+                                                decoded_width,
                                                 linear_apply_ca,
                                                 load_raw_phases,
                                                 metering_update_ca,
@@ -115,6 +116,25 @@ def band_plan(hh: int, n_bands: int, stride: int = 8):
                         q_fallback=max(stride // 2, 1))
 
 
+def _fit_bands(seed: int, n_bands: int, plan_fn, extent_fn):
+  """Raise ``n_bands`` (a user MINIMUM) until no band's demosaic
+  program exceeds ``_BAND_ROWS_MAX`` input phase rows — the q-rounding
+  of band sizes and (in resize mode) the input span of a band's
+  bilinear taps can both overshoot a naive rows/_BAND_ROWS_MAX split.
+  ``plan_fn(n)`` builds the candidate plan, ``extent_fn(plan)`` its
+  largest input-phase-row extent. Stops when a finer split doesn't
+  exist (band size already at the plan's quantum). Returns (n, plan)."""
+  n = max(n_bands, seed, 1)
+  while True:
+    plan = plan_fn(n)
+    if extent_fn(plan) <= _BAND_ROWS_MAX:
+      return n, plan
+    nxt = plan_fn(n + 1)
+    if nxt == plan:
+      return n, plan  # q-bound: a finer split doesn't exist
+    n += 1
+
+
 @partial(jax.jit, static_argnames=("fmt", "ids_format", "work_dtype",
                                    "pattern", "cc", "stride", "is_top",
                                    "is_bot", "emit_sample"))
@@ -131,7 +151,11 @@ def _band_demosaic(raw_band, fmt, ids_format, work_dtype, pattern, cc,
   weights = _demosaic_tables(pattern, "mhc")
   from taichi_image_tpu.ops.bayer import _stencil_finish_spec
   from taichi_image_tpu.ops.pallas import demosaic as pallas_dm
-  if pallas_dm.pallas_available(hb2, wh):
+  # same fuse gate as the unbanded path (ops/bayer.demosaic_phases):
+  # Mosaic cannot emit f16 — the f16 pipeline runs the plain stencil
+  # and finishes in XLA
+  fuse = wd in (types.bf16, jnp.dtype(jnp.float32))
+  if pallas_dm.pallas_available(hb2, wh) and fuse:
     # Pallas stencil on the halo'd band (claimed shape hb2); interior
     # rows 1..hb read the real halo values exactly like the VALID conv,
     # and the halo rows' own outputs are discarded. The fused finish
@@ -140,8 +164,7 @@ def _band_demosaic(raw_band, fmt, ids_format, work_dtype, pattern, cc,
     # bottom sit at kernel rows 1/hb when this band touches them, and
     # nowhere (-1) for interior bands — the halo rows' wrongly-factored
     # outputs are the discarded ones. Skips the f32-numerator
-    # materialization + external renorm/CCM/clip pass (~4.8 GB of HBM
-    # traffic at 8K, measured as the main banded-vs-4x4K device gap).
+    # materialization + external renorm/CCM/clip pass.
     in_bf16 = phases.dtype == jnp.bfloat16
     fin = _stencil_finish_spec(weights, hb2, wh, cc, wd,
                                top_row=1 if is_top else -1,
@@ -151,6 +174,22 @@ def _band_demosaic(raw_band, fmt, ids_format, work_dtype, pattern, cc,
     ph_in = phases if in_bf16 else phases.astype(jnp.float32)
     x12 = pallas_dm.demosaic_stencil(ph_in, weights, *tiles,
                                      finish=fin)[:, :, 1:hb + 1]
+  elif pallas_dm.pallas_available(hb2, wh):
+    # f16 working dtype: plain stencil (f32 numerators), XLA finish
+    in_bf16 = phases.dtype == jnp.bfloat16
+    tiles = pallas_dm.tiling_for(hb2, wh, in_bf16=in_bf16)
+    ph_in = phases if in_bf16 else phases.astype(jnp.float32)
+    out = pallas_dm.demosaic_stencil(ph_in, weights,
+                                     *tiles)[:, :, 1:hb + 1]
+    out = out * edge_renorm_factor(weights, hb, wh, is_top=is_top,
+                                   is_bot=is_bot)
+    if cc is not None:
+      ccm = jnp.asarray(np.array(cc, np.float32).reshape(3, 3))
+      x = out.reshape(n, 4, 3, hb, wh)
+      x = jnp.einsum("npchw,dc->npdhw", x, ccm,
+                     precision=jax.lax.Precision.HIGHEST)
+      out = x.reshape(n, 12, hb, wh)
+    x12 = jnp.clip(out, 0.0, 1.0).astype(wd)
   else:
     num = jax.lax.conv_general_dilated(
         phases.astype(jnp.float32), jnp.asarray(weights), (1, 1),
@@ -286,7 +325,7 @@ def _banded_scan_step(raws, prev, t, b, fmt, ids_format, work_dtype,
   banded_scan_vs_loop_onchip)."""
   wd = types.canonical_dtype(work_dtype)
   n, h, wb = raws.shape
-  w = {"packed12": wb * 2 // 3, "packed16": wb // 2}.get(fmt, wb)
+  w = decoded_width(fmt, wb)
   hh, wh = h // 2, w // 2
   nb = hh // b
   sq = max(stride // 2, 1)
@@ -301,7 +340,9 @@ def _banded_scan_step(raws, prev, t, b, fmt, ids_format, work_dtype,
     raw_band = jax.lax.dynamic_slice_in_dim(raws_p, 2 * b * i,
                                             2 * b + 4, axis=1)
     phases = load_raw_phases(raw_band, fmt, work_dtype, ids_format)
-    if use_pallas:
+    # same fuse gate as the unbanded path: Mosaic cannot emit f16
+    fuse = wd in (types.bf16, jnp.dtype(jnp.float32))
+    if use_pallas and fuse:
       # fused-finish stencil (renorm + CCM + clip + cast in-kernel,
       # like the 4K step and the loop driver's _band_demosaic). The
       # edge-strip rows are static per band KIND (first/interior/last),
@@ -326,6 +367,14 @@ def _banded_scan_step(raws, prev, t, b, fmt, ids_format, work_dtype,
         x12full = jax.lax.switch(
             idx, [_kind(1, -1), _kind(-1, -1), _kind(-1, b)], ph_in)
       x12 = x12full[:, :, 1:b + 1]
+      return 0, (x12, subsample_hw(x12[:, 0:3], sq, sq))
+    if use_pallas:
+      # f16 working dtype: plain stencil (f32 numerators), XLA finish
+      in_bf16 = phases.dtype == jnp.bfloat16
+      tiles = pallas_dm.tiling_for(b + 2, wh, in_bf16=in_bf16)
+      ph_in = phases if in_bf16 else phases.astype(jnp.float32)
+      out = pallas_dm.demosaic_stencil(ph_in, weights,
+                                       *tiles)[:, :, 1:b + 1]
     else:
       num = jax.lax.conv_general_dilated(
           phases.astype(jnp.float32), jnp.asarray(weights), (1, 1),
@@ -336,17 +385,17 @@ def _banded_scan_step(raws, prev, t, b, fmt, ids_format, work_dtype,
       full = weights.sum(axis=(1, 2, 3))
       out = num * jnp.asarray(1.0 / full,
                               jnp.float32)[None, :, None, None]
-      # edge_renorm_factor accepts traced gates (the spatial-sharding
-      # path uses the same form) — top/bottom strips fire per band index
-      out = out * edge_renorm_factor(weights, b, wh, is_top=(i == 0),
-                                     is_bot=(i == nb - 1))
-      if cc is not None:
-        ccm = jnp.asarray(np.array(cc, np.float32).reshape(3, 3))
-        x = out.reshape(n, 4, 3, b, wh)
-        x = jnp.einsum("npchw,dc->npdhw", x, ccm,
-                       precision=jax.lax.Precision.HIGHEST)
-        out = x.reshape(n, 12, b, wh)
-      x12 = jnp.clip(out, 0.0, 1.0).astype(wd)
+    # edge_renorm_factor accepts traced gates (the spatial-sharding
+    # path uses the same form) — top/bottom strips fire per band index
+    out = out * edge_renorm_factor(weights, b, wh, is_top=(i == 0),
+                                   is_bot=(i == nb - 1))
+    if cc is not None:
+      ccm = jnp.asarray(np.array(cc, np.float32).reshape(3, 3))
+      x = out.reshape(n, 4, 3, b, wh)
+      x = jnp.einsum("npchw,dc->npdhw", x, ccm,
+                     precision=jax.lax.Precision.HIGHEST)
+      out = x.reshape(n, 12, b, wh)
+    x12 = jnp.clip(out, 0.0, 1.0).astype(wd)
     return 0, (x12, subsample_hw(x12[:, 0:3], sq, sq))
 
   _, (x12_b, samp_b) = jax.lax.scan(body_demosaic, 0, jnp.arange(nb))
@@ -477,7 +526,12 @@ def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
     raise ValueError(f"unknown driver {driver!r}")
   raws = jnp.asarray(raws)
   h = raws.shape[-2]
-  n_bands = max(n_bands, -(-(h // 2) // _BAND_ROWS_MAX))
+  hh_in = h // 2
+  if resize_plan is None:
+    n_bands, _ = _fit_bands(
+        -(-hh_in // _BAND_ROWS_MAX), n_bands,
+        lambda n: band_plan(hh_in, n, stride),
+        lambda plan: max(r1 - r0 for r0, r1 in plan))
   wd = types.canonical_dtype(work_dtype)
   # per-band conversion only on the no-resize/no-transform phase path;
   # otherwise bands stay planar RGB and convert on the assembled output
@@ -533,13 +587,19 @@ def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
   else:
     size, scale = resize_plan
     w_raw = raws.shape[-1]
-    w = {"packed12": w_raw * 2 // 3,
-         "packed16": w_raw // 2}.get(fmt, w_raw)
+    w = decoded_width(fmt, w_raw)
     sy, sx = _plan_scales(h, w, size, scale)
     r_lo, r_hi, _ = _axis_samples(size[1], h, sy)
     hh = h // 2
-    obands = band_plan_rows(size[1], n_bands, int(np.lcm(stride, 16)),
-                            q_fallback=stride)
+    def _in_extent(plan):
+      return max(min(int(r_hi[o1 - 1]) // 2 + 1, hh) - int(r_lo[o0]) // 2
+                 for (o0, o1) in plan)
+
+    n_bands, obands = _fit_bands(
+        -(-size[1] // _BAND_ROWS_MAX), n_bands,
+        lambda n: band_plan_rows(size[1], n, int(np.lcm(stride, 16)),
+                                 q_fallback=stride),
+        _in_extent)
     for (o0, o1) in obands:
       p0 = int(r_lo[o0]) // 2
       p1 = min(int(r_hi[o1 - 1]) // 2 + 1, hh)

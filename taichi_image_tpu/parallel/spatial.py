@@ -140,12 +140,18 @@ def _spatial_resize_plan(h, w, n_shards, resize_plan, stride):
   """Validate + precompute shard-uniform resize taps for row sharding.
 
   Every shard runs the SAME program, so shard i must be able to reuse
-  shard 0's tap table shifted by i * h_in_local — true exactly when the
-  f32 sample positions are shift-invariant across shard boundaries
-  (holds for the production scales: x0.5, x0.25, integer upscales...).
-  Checked explicitly against the global tables; a ValueError names the
-  incompatibility otherwise. Returns (size, (sy, sx), h_out_local,
-  halo_lo, halo_hi) with halos in PHASE rows."""
+  shard 0's tap table shifted by i * h_in_local — checked on the
+  UNCLAMPED sample positions, which are genuinely shift-invariant for
+  the production scales (x0.5, x0.25, integer upscales — dyadic/integer
+  factors are exact in the reference's f32 tap arithmetic; non-dyadic
+  scales like x0.75 drift in f32 and are rejected); a ValueError names
+  the incompatibility otherwise. The reference's bottom-edge tap CLAMP
+  (interpolate.py:24-34) is NOT shift-invariant — the last shard's
+  clamped rows differ from shard 0's — so it is reproduced instead by
+  the bottom halo: the last shard's halo row is a parity-corrected
+  REPLICATE of its last row (_exchange_extra_halos), which reads the
+  same values the clamp would (bitwise). Returns (size, (sy, sx),
+  h_out_local, halo_lo, halo_hi) with halos in PHASE rows."""
   size, scale = resize_plan
   w_out, h_out = size
   sy, sx = _plan_scales(h, w, size, scale)
@@ -158,11 +164,15 @@ def _spatial_resize_plan(h, w, n_shards, resize_plan, stride):
         f"resized rows per shard ({hol}) must be a multiple of the "
         f"metering stride ({stride}) so the sample grid stays global")
   hil = h // n_shards
-  r_lo, r_hi, r_f = _axis_samples(h_out, h, sy)
+  # unclamped positions (p = o/sy, lo = trunc, hi = lo+1 — the clamp is
+  # handled by the replicate halo, see docstring)
+  p = np.arange(h_out, dtype=np.float32) / np.float32(sy)
+  r_lo = p.astype(np.int32)
+  r_f = p - r_lo.astype(np.float32)
+  r_hi = r_lo + 1
   for i in range(1, n_shards):
     o = slice(i * hol, (i + 1) * hol)
     if (not np.array_equal(r_lo[o], r_lo[:hol] + i * hil)
-        or not np.array_equal(r_hi[o], r_hi[:hol] + i * hil)
         or not np.array_equal(r_f[o], r_f[:hol])):
       raise ValueError(
           f"resize scale {sy} is not shift-invariant across {n_shards} "
@@ -175,11 +185,24 @@ def _spatial_resize_plan(h, w, n_shards, resize_plan, stride):
   return size, (sy, sx), hol, halo_lo, halo_hi
 
 
+# row-parity-1 counterpart of each 12-channel phase slot: phases are
+# ordered (dy, dx) = (0,0), (1,0), (0,1), (1,1) (ops/bayer._PHASE_PARITY)
+# so dy=0 slots map to their dy=1 partner (0->1, 2->3), dy=1 to itself
+_REPLICATE_PERM = [pm * 3 + c for pm in (1, 1, 3, 3) for c in range(3)]
+
+
 def _exchange_extra_halos(x12, axis_name, halo_lo, halo_hi):
   """Exchange ``halo_lo`` top / ``halo_hi`` bottom PHASE rows of the
-  (N, 12, hh_l, wh) demosaiced shard with mesh neighbors (zeros past
-  the global edges — taps are clamped inside the image so those rows
-  are never read with nonzero weight)."""
+  (N, 12, hh_l, wh) demosaiced shard with mesh neighbors.
+
+  Past the global BOTTOM edge the halo is a parity-corrected REPLICATE
+  of the shard's own last phase row (both row-parity channel slots
+  carry the dy=1 values — the true last full-res row), which reproduces
+  the reference's bottom tap clamp bitwise: the unclamped tap hi = H
+  reads exactly what clamp-to-H-1 would. The top edge needs no fill:
+  ``r_lo[0] = trunc(0/sy) = 0``, so ``halo_lo`` is always 0
+  (asserted at build in make_spatial_isp_step via _spatial_resize_plan)
+  and the branch exists only for symmetry with zeros."""
   idx = jax.lax.axis_index(axis_name)
   n_shards = jax.lax.axis_size(axis_name)
   parts = []
@@ -194,8 +217,9 @@ def _exchange_extra_halos(x12, axis_name, halo_lo, halo_hi):
     top = x12[:, :, :halo_hi, :]
     bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
     bot_halo = jax.lax.ppermute(top, axis_name, bwd)
-    bot_halo = jnp.where(idx == n_shards - 1, jnp.zeros_like(bot_halo),
-                         bot_halo)
+    repl = jnp.broadcast_to(x12[:, jnp.asarray(_REPLICATE_PERM), -1:, :],
+                            bot_halo.shape)
+    bot_halo = jnp.where(idx == n_shards - 1, repl, bot_halo)
     parts.append(bot_halo)
   return jnp.concatenate(parts, axis=2) if len(parts) > 1 else x12
 

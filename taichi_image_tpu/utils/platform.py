@@ -72,6 +72,20 @@ def _repair_pythonpath() -> None:
 
 
 def _reexec(attempt: int, max_reexec: int) -> None:
+  # [python] + sys.argv only reconstructs SCRIPT (and -m, where Python
+  # rewrites argv[0] to the module file) invocations: for
+  # `python -c "..."` sys.argv is ['-c', ...] with the code string
+  # gone, so exec'ing it would die with a cryptic '-c needs an
+  # argument' error. Skip the re-exec and let the caller's fallback/
+  # raise logic run with the repaired env instead.
+  if sys.argv and sys.argv[0] == "-c":
+    sys.stderr.write(
+        "[taichi_image_tpu] platform registration failed and the "
+        "`python -c` invocation cannot be re-exec'd — rerun with the "
+        "plugin dir preserved (PYTHONPATH=...:$PYTHONPATH) or from a "
+        "script file.\n")
+    sys.stderr.flush()
+    return
   os.environ[_REEXEC_VAR] = str(attempt)
   sys.stderr.write(
       f"[taichi_image_tpu] platform registration failed; re-exec "

@@ -296,13 +296,28 @@ def test_scan_driver_misuse_raises():
 
 
 def test_n_bands_clamped_to_compilable_band_size():
-  """n_bands is a minimum: 8K-class row counts are split so no band
-  exceeds _BAND_ROWS_MAX phase rows (larger band programs crash the
-  remote compiler; the default n_bands=4 at 8K must not)."""
-  # loop plan at 8K with n_bands=4 after the clamp: 8 bands of <=280
-  eff = max(4, -(-2160 // large._BAND_ROWS_MAX))
-  assert eff == 8
-  plan = large.band_plan(2160, eff)
-  assert all(r1 - r0 <= large._BAND_ROWS_MAX for r0, r1 in plan)
+  """n_bands is a minimum: row counts are split so no band exceeds
+  _BAND_ROWS_MAX phase rows (larger band programs crash the remote
+  compiler; the default n_bands=4 at 8K must not) — including the
+  q-rounding overshoot a naive rows/max split misses."""
+  cap = large._BAND_ROWS_MAX
+
+  def fit(hh, n_bands, stride=8):
+    return large._fit_bands(
+        -(-hh // cap), n_bands, lambda n: large.band_plan(hh, n, stride),
+        lambda plan: max(r1 - r0 for r0, r1 in plan))
+
+  # 8K with the default n_bands=4: 8 bands of <= cap
+  n, plan = fit(2160, 4)
+  assert n == 8
+  assert all(r1 - r0 <= cap for r0, r1 in plan)
   # scan plan under the same clamp picks 240-row bands
-  assert large.scan_band_size(2160, eff, 16) == 240
+  assert large.scan_band_size(2160, n, 16) == 240
+  # q-rounding overshoot: ceil(2760/10)=276 rounds to 288 > cap, so the
+  # fit must go finer than the naive ceil(2760/280)=10 split
+  n2, plan2 = fit(2760, 4)
+  assert n2 > 10
+  assert all(r1 - r0 <= cap for r0, r1 in plan2)
+  # unreachable cap (quantum > cap): stops at the quantum, no spin
+  n3, plan3 = fit(600, 1, stride=2 * 300)
+  assert plan3 == large.band_plan(600, n3, 2 * 300)

@@ -449,3 +449,43 @@ def test_spatial_bad_color_format_raises():
              ("cam", spatial.ROW_AXIS)),
         work_dtype=types.f32, pattern=bayer.BayerPattern.RGGB,
         n_cameras=2, image_hw=(64, 96), color_format="nv12")
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_spatial_step_with_upscale(n_dev):
+  """Integer UPSCALE across row shards (round-3, late): the unclamped
+  tap tables are shift-invariant, and the reference's bottom-edge tap
+  clamp is reproduced by the last shard's parity-corrected replicate
+  halo — matches the unsharded fused upscale within the usual 1 count
+  (was a ValueError before; the halo machinery was unreachable)."""
+  h, w = 64, 96
+  raws = []
+  for s in range(2):
+    img = make_test_rgb(h, w, seed=s)
+    cfa = rgb_to_bayer_oracle(img, "RGGB")
+    raws.append(np.asarray(packed.encode12(cfa, scaled=True)))
+  raws = np.stack(raws)
+
+  ref = Camera32(bayer.BayerPattern.RGGB, moving_alpha=0.2, scale=2.0)
+  ref_out = ref.process(raws, gamma=0.8, intensity=2.0)
+
+  mesh = _mesh(n_dev)
+  step = spatial.make_spatial_isp_step(
+      mesh, work_dtype=types.f32, pattern=bayer.BayerPattern.RGGB,
+      n_cameras=2, image_hw=(h, w), resize_plan=((192, 128), 2.0))
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  raws_s = jax.device_put(jnp.asarray(raws),
+                          NamedSharding(mesh, P(None, spatial.ROW_AXIS)))
+  prev = jax.device_put(jnp.zeros(9, jnp.float32),
+                        NamedSharding(mesh, P()))
+  metrics, out = step(raws_s, prev, jnp.float32(0.0), jnp.float32(0.8),
+                      jnp.float32(2.0), jnp.float32(1.0),
+                      jnp.float32(0.0))
+
+  assert np.asarray(out).shape == (2, 3, 128, 192)
+  np.testing.assert_allclose(np.asarray(metrics), np.asarray(ref.metrics),
+                             atol=1e-5)
+  diff = np.abs(np.asarray(out).astype(int) -
+                np.asarray(ref_out).astype(int))
+  assert diff.max() <= 1
+  assert (diff > 0).mean() < 0.01

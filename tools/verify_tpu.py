@@ -359,6 +359,18 @@ def main():
     dms = float(np.abs(np.asarray(mb3) - np.asarray(mb1)).max())
     record("banded_scan_vs_loop_onchip", ok_scan and dms < 1e-6,
            f"u8 bitwise={ok_scan} metrics max|diff|={dms:.2e}")
+    # f16 working dtype takes the plain-stencil + XLA-finish band path
+    # (Mosaic cannot emit f16 — a fused f16 finish fails to compile);
+    # both drivers must run and agree
+    kwf = dict(kwb, work_dtype=types.f16)
+    mf1b, of1b = large_mod.process_banded(raws_b, prevz, 0.0,
+                                          driver="loop", **kwf)
+    mf2b, of2b = large_mod.process_banded(raws_b, prevz, 0.0,
+                                          driver="scan", **kwf)
+    dfb = np.abs(np.asarray(of1b).astype(int)
+                 - np.asarray(of2b).astype(int))
+    record("banded_f16_drivers_onchip", int(dfb.max()) == 0,
+           f"u8 max|diff|={int(dfb.max())} (plain-stencil band path)")
   except Exception as e:
     record("banded_fused_finish_vs_xla_onchip", False,
            f"{type(e).__name__}: {str(e)[:90]}")
