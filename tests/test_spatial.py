@@ -283,13 +283,15 @@ def test_spatial_shape_fuzz():
     resize = None
     if rng.random() < 0.5 and (h // 2) % (n_dev * 8) == 0:
       resize = ((w // 2, h // 2), 0.5)
+    elif rng.random() < 0.5:  # integer upscale (replicate-halo path)
+      resize = ((w * 2, h * 2), 2.0)
     raws = np.stack([
         rng.integers(0, 256, size=(h, w * 3 // 2), dtype=np.uint8)
         for _ in range(n_cam)])
 
     from taichi_image_tpu.models.camera_isp import camera_isp
     cls = camera_isp(f"SpFuzz{trial}", wd)
-    ref = cls(pat, scale=0.5 if resize else None)
+    ref = cls(pat, scale=resize[1] if resize else None)
     ref_out = ref.process(raws, gamma=0.8)
 
     mesh = _mesh(n_dev)
