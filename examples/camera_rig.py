@@ -17,10 +17,16 @@ Demonstrates the full API surface a taichi_image user needs:
 """
 
 import argparse
+import os
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+# runnable without installation: the repo root is the example's parent
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def synth_scene(h, w, t, n_cams):
