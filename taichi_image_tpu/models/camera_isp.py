@@ -564,6 +564,13 @@ class _ISPBase:
     a framework extension riding the existing metering collective, so
     it works unchanged under camera sharding.
 
+    RECOMPILE COST: white_balance folds into the CCM, a STATIC argument
+    of the jitted step — every distinct gain value compiles a new
+    specialization (seconds at 4K/8K). Gains are therefore quantized to
+    1/256 steps (invisible next to the u8 output quantization), so the
+    loop stops recompiling once converged; still, prefer calling this
+    every N frame sets rather than every set while converging.
+
     Returns the new white_balance (numpy, length 3). Raises if no
     frames have been metered yet."""
     if self.metrics is None:
@@ -579,17 +586,26 @@ class _ISPBase:
     wb = wb / wb[1]  # G==1 convention FIRST, then clamp (clamping
     # before the renormalization could scale R/B back above max_gain
     # whenever the stored G gain was != 1)
-    self.white_balance = np.clip(wb, 1.0 / max_gain, max_gain)
+    wb = np.clip(wb, 1.0 / max_gain, max_gain)
+    # quantize: bounds the jit-cache growth of the CCM static (above)
+    # and makes the converged loop a fixed point (no recompiles)
+    self.white_balance = np.round(wb * 256.0) / 256.0
     return self.white_balance
 
   def state_dict(self):
-    """Serializable pipeline state (numpy)."""
+    """Serializable pipeline state (numpy): the EMA metering vec9 and —
+    since auto_white_balance made it algorithmic cross-frame state —
+    the current white-balance gains."""
     return {"metrics": None if self.metrics is None
-            else np.asarray(self.metrics)}
+            else np.asarray(self.metrics),
+            "white_balance": np.asarray(self.white_balance)}
 
   def load_state(self, state):
     m = state.get("metrics")
     self.metrics = None if m is None else jnp.asarray(m, jnp.float32)
+    wb = state.get("white_balance")  # absent in pre-AWB checkpoints
+    if wb is not None:
+      self.white_balance = np.asarray(wb, np.float64)
 
   # -- metering ------------------------------------------------------------
 

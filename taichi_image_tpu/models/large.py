@@ -135,6 +135,48 @@ def _fit_bands(seed: int, n_bands: int, plan_fn, extent_fn):
     n += 1
 
 
+def _band_numerators(phases, weights):
+  """(N, 4, hb+2, wh) halo'd phases -> (N, 12, hb, wh) f32
+  interior-normalized demosaic numerators: the plain Pallas stencil on
+  the claimed hb+2 shape (halo rows' own outputs discarded) when
+  available, else the rows-VALID conv (the halo provides the context
+  rows either way — identical taps)."""
+  n, _, hb2, wh = phases.shape
+  hb = hb2 - 2
+  from taichi_image_tpu.ops.pallas import demosaic as pallas_dm
+  if pallas_dm.pallas_available(hb2, wh):
+    in_bf16 = phases.dtype == jnp.bfloat16
+    tiles = pallas_dm.tiling_for(hb2, wh, in_bf16=in_bf16)
+    ph_in = phases if in_bf16 else phases.astype(jnp.float32)
+    return pallas_dm.demosaic_stencil(ph_in, weights,
+                                      *tiles)[:, :, 1:hb + 1]
+  num = jax.lax.conv_general_dilated(
+      phases.astype(jnp.float32), jnp.asarray(weights), (1, 1),
+      ((0, 0), (1, 1)),  # rows VALID (halo provides context), cols pad
+      dimension_numbers=("NCHW", "OIHW", "NCHW"),
+      precision=jax.lax.Precision.HIGHEST,
+      preferred_element_type=jnp.float32)
+  full = weights.sum(axis=(1, 2, 3))
+  return num * jnp.asarray(1.0 / full, jnp.float32)[None, :, None, None]
+
+
+def _band_finish_xla(out, weights, cc, wd, is_top, is_bot):
+  """XLA band finish: gated edge renorm (``is_top``/``is_bot`` may be
+  Python bools or traced scalars) + optional CCM + clip + cast — the
+  same arithmetic demosaic_phases applies outside the fused-finish
+  kernel."""
+  n, _, hb, wh = out.shape
+  out = out * edge_renorm_factor(weights, hb, wh, is_top=is_top,
+                                 is_bot=is_bot)
+  if cc is not None:
+    ccm = jnp.asarray(np.array(cc, np.float32).reshape(3, 3))
+    x = out.reshape(n, 4, 3, hb, wh)
+    x = jnp.einsum("npchw,dc->npdhw", x, ccm,
+                   precision=jax.lax.Precision.HIGHEST)
+    out = x.reshape(n, 12, hb, wh)
+  return jnp.clip(out, 0.0, 1.0).astype(wd)
+
+
 @partial(jax.jit, static_argnames=("fmt", "ids_format", "work_dtype",
                                    "pattern", "cc", "stride", "is_top",
                                    "is_bot", "emit_sample"))
@@ -174,40 +216,11 @@ def _band_demosaic(raw_band, fmt, ids_format, work_dtype, pattern, cc,
     ph_in = phases if in_bf16 else phases.astype(jnp.float32)
     x12 = pallas_dm.demosaic_stencil(ph_in, weights, *tiles,
                                      finish=fin)[:, :, 1:hb + 1]
-  elif pallas_dm.pallas_available(hb2, wh):
-    # f16 working dtype: plain stencil (f32 numerators), XLA finish
-    in_bf16 = phases.dtype == jnp.bfloat16
-    tiles = pallas_dm.tiling_for(hb2, wh, in_bf16=in_bf16)
-    ph_in = phases if in_bf16 else phases.astype(jnp.float32)
-    out = pallas_dm.demosaic_stencil(ph_in, weights,
-                                     *tiles)[:, :, 1:hb + 1]
-    out = out * edge_renorm_factor(weights, hb, wh, is_top=is_top,
-                                   is_bot=is_bot)
-    if cc is not None:
-      ccm = jnp.asarray(np.array(cc, np.float32).reshape(3, 3))
-      x = out.reshape(n, 4, 3, hb, wh)
-      x = jnp.einsum("npchw,dc->npdhw", x, ccm,
-                     precision=jax.lax.Precision.HIGHEST)
-      out = x.reshape(n, 12, hb, wh)
-    x12 = jnp.clip(out, 0.0, 1.0).astype(wd)
   else:
-    num = jax.lax.conv_general_dilated(
-        phases.astype(jnp.float32), jnp.asarray(weights), (1, 1),
-        ((0, 0), (1, 1)),  # rows VALID (halo provides context), cols pad
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
-    full = weights.sum(axis=(1, 2, 3))
-    out = num * jnp.asarray(1.0 / full, jnp.float32)[None, :, None, None]
-    out = out * edge_renorm_factor(weights, hb, wh, is_top=is_top,
-                                   is_bot=is_bot)
-    if cc is not None:
-      ccm = jnp.asarray(np.array(cc, np.float32).reshape(3, 3))
-      x = out.reshape(n, 4, 3, hb, wh)
-      x = jnp.einsum("npchw,dc->npdhw", x, ccm,
-                     precision=jax.lax.Precision.HIGHEST)
-      out = x.reshape(n, 12, hb, wh)
-    x12 = jnp.clip(out, 0.0, 1.0).astype(wd)
+    # plain stencil / conv numerators + XLA finish (f16 working dtype,
+    # or no Pallas backend)
+    x12 = _band_finish_xla(_band_numerators(phases, weights), weights,
+                           cc, wd, is_top, is_bot)
   if not emit_sample:  # resize mode meters the RESIZED rgb instead
     return x12
   from taichi_image_tpu.ops.bayer import subsample_hw
@@ -368,34 +381,12 @@ def _banded_scan_step(raws, prev, t, b, fmt, ids_format, work_dtype,
             idx, [_kind(1, -1), _kind(-1, -1), _kind(-1, b)], ph_in)
       x12 = x12full[:, :, 1:b + 1]
       return 0, (x12, subsample_hw(x12[:, 0:3], sq, sq))
-    if use_pallas:
-      # f16 working dtype: plain stencil (f32 numerators), XLA finish
-      in_bf16 = phases.dtype == jnp.bfloat16
-      tiles = pallas_dm.tiling_for(b + 2, wh, in_bf16=in_bf16)
-      ph_in = phases if in_bf16 else phases.astype(jnp.float32)
-      out = pallas_dm.demosaic_stencil(ph_in, weights,
-                                       *tiles)[:, :, 1:b + 1]
-    else:
-      num = jax.lax.conv_general_dilated(
-          phases.astype(jnp.float32), jnp.asarray(weights), (1, 1),
-          ((0, 0), (1, 1)),  # rows VALID (halo provides context)
-          dimension_numbers=("NCHW", "OIHW", "NCHW"),
-          precision=jax.lax.Precision.HIGHEST,
-          preferred_element_type=jnp.float32)
-      full = weights.sum(axis=(1, 2, 3))
-      out = num * jnp.asarray(1.0 / full,
-                              jnp.float32)[None, :, None, None]
-    # edge_renorm_factor accepts traced gates (the spatial-sharding
-    # path uses the same form) — top/bottom strips fire per band index
-    out = out * edge_renorm_factor(weights, b, wh, is_top=(i == 0),
-                                   is_bot=(i == nb - 1))
-    if cc is not None:
-      ccm = jnp.asarray(np.array(cc, np.float32).reshape(3, 3))
-      x = out.reshape(n, 4, 3, b, wh)
-      x = jnp.einsum("npchw,dc->npdhw", x, ccm,
-                     precision=jax.lax.Precision.HIGHEST)
-      out = x.reshape(n, 12, b, wh)
-    x12 = jnp.clip(out, 0.0, 1.0).astype(wd)
+    # plain stencil / conv numerators + XLA finish (f16 working dtype,
+    # or no Pallas backend); edge gates are TRACED per band index —
+    # _band_finish_xla/edge_renorm_factor accept traced scalars (the
+    # spatial-sharding path uses the same form)
+    x12 = _band_finish_xla(_band_numerators(phases, weights), weights,
+                           cc, wd, is_top=(i == 0), is_bot=(i == nb - 1))
     return 0, (x12, subsample_hw(x12[:, 0:3], sq, sq))
 
   _, (x12_b, samp_b) = jax.lax.scan(body_demosaic, 0, jnp.arange(nb))
@@ -527,11 +518,13 @@ def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
   raws = jnp.asarray(raws)
   h = raws.shape[-2]
   hh_in = h // 2
+  loop_band_max = None
   if resize_plan is None:
-    n_bands, _ = _fit_bands(
+    n_bands, loop_plan = _fit_bands(
         -(-hh_in // _BAND_ROWS_MAX), n_bands,
         lambda n: band_plan(hh_in, n, stride),
         lambda plan: max(r1 - r0 for r0, r1 in plan))
+    loop_band_max = max(r1 - r0 for r0, r1 in loop_plan)
   wd = types.canonical_dtype(work_dtype)
   # per-band conversion only on the no-resize/no-transform phase path;
   # otherwise bands stay planar RGB and convert on the assembled output
@@ -542,6 +535,13 @@ def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
   if driver != "loop" and resize_plan is None:
     b_scan = scan_band_size(h // 2, n_bands,
                             int(np.lcm(max(stride // 2, 1), 16)))
+    # auto only takes scan when its equal bands are in the loop driver's
+    # size class: divisor-poor row counts (e.g. hh = 16 * prime) admit
+    # only tiny equal bands, and a 100+-iteration scan of slivers loses
+    # to the loop's ~9 full bands ("scan" forces it regardless)
+    if (driver == "auto" and b_scan is not None
+        and 2 * b_scan < loop_band_max):
+      b_scan = None
     if b_scan is not None:
       prev = jnp.array(np.asarray(prev), jnp.float32)
       metrics, merged, max_out = _banded_scan_step(
@@ -595,8 +595,11 @@ def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
       return max(min(int(r_hi[o1 - 1]) // 2 + 1, hh) - int(r_lo[o0]) // 2
                  for (o0, o1) in plan)
 
+    # seed from INPUT phase rows: a band's program size scales with the
+    # input rows its taps span, not its output rows (an output-row seed
+    # starts upscales at ~scale-factor too many bands)
     n_bands, obands = _fit_bands(
-        -(-size[1] // _BAND_ROWS_MAX), n_bands,
+        -(-hh // _BAND_ROWS_MAX), n_bands,
         lambda n: band_plan_rows(size[1], n, int(np.lcm(stride, 16)),
                                  q_fallback=stride),
         _in_extent)

@@ -133,3 +133,7 @@ def ensure_backend_for_timing(max_reexec: int = 3):
       raise RuntimeError(_FLAKE_MSG + f" (gave up after {n} re-execs)"
                          ) from e
     _reexec(n + 1, max_reexec)
+    # _reexec returns (instead of exec'ing) for `python -c` invocations
+    # — timing entry points must still fail LOUDLY, never fall through
+    # to an auto-selected broken backend
+    raise RuntimeError(_FLAKE_MSG + " (python -c cannot re-exec)") from e
