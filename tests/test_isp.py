@@ -288,6 +288,27 @@ def test_state_dict_roundtrip():
   assert Camera32(bayer.BayerPattern.RGGB).state_dict()["metrics"] is None
 
 
+def test_state_dict_carries_white_balance():
+  """AWB made white_balance cross-frame algorithmic state: converged
+  gains must survive checkpoint/resume (and pre-AWB checkpoints
+  without the key still load)."""
+  raws = _casted_raws(cast=(0.6, 1.0, 1.4))
+  isp = Camera32(bayer.BayerPattern.RGGB, correct_colors=True,
+                 color_correction=np.eye(3, dtype=np.float64),
+                 moving_alpha=1.0)
+  isp.process(raws)
+  wb = isp.auto_white_balance()
+  state = isp.state_dict()
+  isp2 = Camera32(bayer.BayerPattern.RGGB, correct_colors=True,
+                  color_correction=np.eye(3, dtype=np.float64))
+  isp2.load_state(state)
+  np.testing.assert_array_equal(isp2.white_balance, wb)
+  # gains quantize to 1/256: a converged loop is a jit-cache fixed point
+  assert np.all(wb * 256 == np.round(wb * 256))
+  isp2.load_state({"metrics": state["metrics"]})  # pre-AWB checkpoint
+  np.testing.assert_array_equal(isp2.white_balance, wb)  # unchanged
+
+
 def test_tonemap_gamma():
   from taichi_image_tpu.ops.tonemap import tonemap_gamma
   src = make_test_rgb(16, 16)
