@@ -24,7 +24,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from taichi_image_tpu.ops.pallas.demosaic import _pick_tile
 
 _VMEM_BUDGET = 12 * 1024 * 1024
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import threading
 from concurrent.futures import Future, ThreadPoolExecutor
-from functools import partial
 from typing import Optional
 
 import jax

@@ -12,11 +12,7 @@ pmin/pmax/psum over the camera axis riding ICI.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from taichi_image_tpu.models.camera_isp import fused_isp_step

@@ -36,7 +36,7 @@ from taichi_image_tpu.ops import bayer as bayer_ops
 from taichi_image_tpu.ops.bayer import (_demosaic_tables,
                                         edge_renorm_factor,
                                         phases_to_planar)
-from taichi_image_tpu.ops.interpolate import ImageTransform, _axis_samples
+from taichi_image_tpu.ops.interpolate import ImageTransform
 from taichi_image_tpu.models.camera_isp import load_raw_phases
 
 ROW_AXIS = "rows"

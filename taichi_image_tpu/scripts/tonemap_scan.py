@@ -12,7 +12,6 @@ and replaced by ``--write``.
 from __future__ import annotations
 
 import argparse
-from functools import partial
 from pathlib import Path
 
 import numpy as np

@@ -21,7 +21,6 @@ and (b) NaN/inf escaping a kernel. This module provides:
 from __future__ import annotations
 
 import os
-from functools import partial
 
 __all__ = ["debug_enabled", "validate_raw", "checked_jit"]
 
