@@ -20,8 +20,12 @@ v5e behind a tunnel), so this measures what CAN be measured honestly:
 Writes docs/SCALING.md.
 """
 
+import os
 import re
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
