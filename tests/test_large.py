@@ -321,3 +321,27 @@ def test_n_bands_clamped_to_compilable_band_size():
   # unreachable cap (quantum > cap): stops at the quantum, no spin
   n3, plan3 = fit(600, 1, stride=2 * 300)
   assert plan3 == large.band_plan(600, n3, 2 * 300)
+
+
+def test_auto_driver_skips_sliver_scan(monkeypatch):
+  """Divisor-poor row counts (hh = 16 * prime) admit only tiny equal
+  bands; auto must take the loop driver there (a 100+-iteration scan of
+  slivers loses), while driver='scan' still forces the scan form."""
+  from taichi_image_tpu import types
+  calls = []
+  orig = large._banded_scan_step
+
+  def spy(*a, **k):
+    calls.append(1)
+    return orig(*a, **k)
+
+  monkeypatch.setattr(large, "_banded_scan_step", spy)
+  raws = _raws(1, h=224, w=96)  # hh = 112 = 16 * 7
+  prev = np.zeros(9, np.float32)
+  kw = dict(n_bands=2, work_dtype=types.bf16,
+            pattern=BayerPattern.RGGB)
+  m_l, o_l = large.process_banded(raws, prev, 0.0, driver="auto", **kw)
+  assert not calls  # only 16-row equal bands exist -> loop
+  m_s, o_s = large.process_banded(raws, prev, 0.0, driver="scan", **kw)
+  assert calls  # forced scan still runs
+  np.testing.assert_array_equal(np.asarray(o_l), np.asarray(o_s))
