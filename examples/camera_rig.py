@@ -96,12 +96,19 @@ def main(argv=None):
   print(f"I420: Y {np.asarray(y).shape} u8 + UV {np.asarray(uv).shape} "
         f"u8 (V-then-U plane order)")
 
+  # --- gray-world auto white balance -------------------------------------
+  # the EMA metering already carries per-channel means; each call nudges
+  # the WB gains toward equal means (a real rig's AWB feedback loop)
+  wb = isp.auto_white_balance(strength=0.7)
+  print(f"AWB gains after this scene (G==1 convention): {wb}")
+
   # --- checkpoint/resume -------------------------------------------------
-  state = isp.state_dict()
+  state = isp.state_dict()  # EMA metering vec9 + AWB white balance
   isp3 = tit.Camera16(tit.BayerPattern.RGGB, moving_alpha=0.1,
                       correct_colors=True)
   isp3.load_state(state)
   print(f"EMA metering state carried over: {np.asarray(isp3.metrics)}")
+  print(f"white balance carried over: {isp3.white_balance}")
 
 
 if __name__ == "__main__":
