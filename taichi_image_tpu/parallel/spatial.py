@@ -182,6 +182,16 @@ def _spatial_resize_plan(h, w, n_shards, resize_plan, stride):
   # the local range [0, hil): halo rows needed beyond it (phase rows)
   halo_lo = max(0, -(-max(0, 0 - int(r_lo[0])) // 2))
   halo_hi = max(0, -(-max(0, int(r_hi[hol - 1]) - (hil - 1)) // 2))
+  if halo_lo != 0:
+    # _exchange_extra_halos documents (and relies on) halo_lo == 0:
+    # truncation-anchored sampling gives r_lo[0] = trunc(0/sy) = 0, so
+    # its top-edge branch feeds ZEROS — fine only while never taken. A
+    # sampling-convention change (e.g. half-pixel centers) would
+    # otherwise silently feed zeros as a real top halo.
+    raise ValueError(
+        f"resize plan needs a top halo of {halo_lo} phase rows — the "
+        "row-sharded resize only supports truncation-anchored sampling "
+        "(top tap at row 0); use process_large or an unsharded step")
   return size, (sy, sx), hol, halo_lo, halo_hi
 
 

@@ -303,9 +303,13 @@ def test_n_bands_clamped_to_compilable_band_size():
   cap = large._BAND_ROWS_MAX
 
   def fit(hh, n_bands, stride=8):
+    q = int(np.lcm(max(stride // 2, 1), 16))
+    if hh < q:
+      q = max(stride // 2, 1)
     return large._fit_bands(
         -(-hh // cap), n_bands, lambda n: large.band_plan(hh, n, stride),
-        lambda plan: max(r1 - r0 for r0, r1 in plan))
+        lambda plan: max(r1 - r0 for r0, r1 in plan),
+        n_max=max(1, hh // q))
 
   # 8K with the default n_bands=4: 8 bands of <= cap
   n, plan = fit(2160, 4)
@@ -321,6 +325,16 @@ def test_n_bands_clamped_to_compilable_band_size():
   # unreachable cap (quantum > cap): stops at the quantum, no spin
   n3, plan3 = fit(600, 1, stride=2 * 300)
   assert plan3 == large.band_plan(600, n3, 2 * 300)
+  # q-rounding PLATEAU: hh=10080 holds 288-row bands (> cap) at n=36
+  # and 37 — consecutive equal plans must be stepped over, not
+  # returned (advisor round-3 medium finding); n=38 reaches 272
+  n4, plan4 = fit(10080, 4)
+  assert all(r1 - r0 <= cap for r0, r1 in plan4)
+  assert n4 == 38
+  # scan_band_size never offers a band beyond the compilable bound even
+  # when n_bands would admit one (defense in depth)
+  b = large.scan_band_size(10080, 4, 16)
+  assert b is not None and b <= cap and 10080 % b == 0
 
 
 def test_auto_driver_skips_sliver_scan(monkeypatch):
