@@ -108,6 +108,67 @@ def main():
   best = min(times)
 
   fps = K * N_CAMERAS / median
+
+  # -- roofline fields (round-3 VERDICT #4) --------------------------------
+  # Achieved HBM GB/s from the step's LOGICAL traffic (what a perfect
+  # implementation of this stage structure must move; docs/PERFORMANCE.md
+  # and BASELINE.md carry the per-stage table):
+  #   decode   R raw u8      + W phases bf16 (N,4,hh,wh)
+  #   stencil  R phases      + W x12 bf16 (N,12,hh,wh)   [samples ~1%]
+  #   map      R x12         + W p bf16 + max
+  #   finish   R p           + W u8 out (N,3,H,W)
+  hh, wh = H // 2, W // 2
+  raw_b = N_CAMERAS * H * (W * 3 // 2)
+  ph_b = N_CAMERAS * 4 * hh * wh * 2
+  x12_b = N_CAMERAS * 12 * hh * wh * 2
+  u8_b = N_CAMERAS * 3 * H * W
+  step_bytes = raw_b + ph_b + ph_b + x12_b + x12_b + x12_b + x12_b + u8_b
+  hbm_gbps = step_bytes / (median / K) / 1e9
+
+  # Same-session XLA copy ceiling at the step's dominant array shape:
+  # K-chained whole-array xor inside one jit (distinct value per
+  # iteration), EVERY element consumed per iteration (a single-element
+  # consumption lets XLA slice the loop to a scalar chain), rate from
+  # the (k_hi - k_lo)-iteration delta so dispatch+fetch overhead nets
+  # out. The fused step can exceed 100% of this: its Pallas kernels'
+  # manual-DMA streams measure ~2x XLA's elementwise copy rate
+  # (docs/PERFORMANCE.md "practical roofline").
+  xs = jax.device_put(rng.standard_normal(
+      (N_CAMERAS, 12, hh, wh)).astype(jnp.bfloat16))
+
+  def _copy_chain(k):
+    cs = jnp.arange(1, k + 1, dtype=jnp.uint16)
+
+    @jax.jit
+    def run(x):
+      def body(carry, c):
+        x, acc = carry
+        y = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(x, jnp.uint16) ^ c,
+            jnp.bfloat16)
+        y = jax.lax.optimization_barrier(y)
+        return (y, acc + jnp.sum(y, dtype=jnp.float32)), None
+
+      (xf, acc), _ = jax.lax.scan(body, (x, jnp.float32(0)), cs)
+      return acc + xf.reshape(-1)[-1].astype(jnp.float32)
+
+    return run
+
+  k_lo, k_hi = 2, 10
+  f_lo, f_hi = _copy_chain(k_lo), _copy_chain(k_hi)
+  _ = np.asarray(f_lo(xs)), np.asarray(f_hi(xs))
+  per_iter = None
+  for _ in range(3):
+    t0 = time.perf_counter()
+    _ = np.asarray(f_lo(xs))
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = np.asarray(f_hi(xs))
+    t_hi = time.perf_counter() - t0
+    d = (t_hi - t_lo) / (k_hi - k_lo)
+    per_iter = d if per_iter is None else min(per_iter, d)
+  copy_gbps = 2 * xs.nbytes / per_iter / 1e9
+
   print(json.dumps({
       "metric": "4K RGGB frames/sec/chip, full ISP (unpack->demosaic->tonemap, bf16)",
       "value": round(fps, 2),
@@ -115,6 +176,9 @@ def main():
       "vs_baseline": round(fps / CPU_BASELINE_FPS, 2),
       "best": round(K * N_CAMERAS / best, 2),
       "reps": REPS,
+      "hbm_gbps": round(hbm_gbps, 1),
+      "copy_gbps": round(copy_gbps, 1),
+      "pct_copy_peak": round(100 * hbm_gbps / copy_gbps, 1),
   }))
 
 

@@ -58,7 +58,7 @@ from taichi_image_tpu.models.camera_isp import (_plan_scales,
                                                 yuv420_from_planar_u8)
 from taichi_image_tpu.ops.bayer import (_demosaic_tables,
                                         edge_renorm_factor,
-                                        phases_to_planar, subsample_hw)
+                                        phases_to_planar_stack, subsample_hw)
 from taichi_image_tpu.ops.interpolate import ImageTransform, _axis_samples
 
 __all__ = ["process_banded", "band_plan", "band_plan_rows",
@@ -279,7 +279,7 @@ def _band_reinhard_gamma(p_cast, max_out, gamma, color_format):
   out12 = reinhard_gamma_ca(p_cast, max_out, gamma).reshape(n, q, hb, wh)
   if color_format == "yuv420":
     return yuv420_from_phases_u8(out12, mxu=mxu)
-  return phases_to_planar(out12)
+  return phases_to_planar_stack(out12)
 
 
 @partial(jax.jit, static_argnames=("size", "scale", "work_dtype",
@@ -330,7 +330,7 @@ def _band_linear(x12, metrics, gamma, color_format):
                           metrics, gamma).reshape(n, q, hb, wh)
   if color_format == "yuv420":
     return yuv420_from_phases_u8(out12, mxu=mxu)
-  return phases_to_planar(out12)
+  return phases_to_planar_stack(out12)
 
 
 @partial(jax.jit, static_argnames=("b", "fmt", "ids_format",
@@ -476,7 +476,12 @@ def _banded_scan_finish_chunk(merged, metrics, max_out, tonemap, gamma,
   layout: 15.8 GB OOM at 8K, 1.6 s at 4K), and no interleave program
   compiles at full 8K extent at all, so the finish runs in <=
   ``_FINISH_CHUNK_ROWS`` chunks. Chunk boundaries are phase rows, so
-  2x2 chroma blocks never straddle a chunk."""
+  2x2 chroma blocks never straddle a chunk.
+
+  The interleave itself is the STACK form (round 4): the parameter-fed
+  6-d transpose moved only ~22 GB/s in these chunk programs — 142.8 vs
+  208.8 ms/set at 6x8K for the whole driver
+  (tools/probe_large2.py roofline/close)."""
   n, _, _, wh = merged.shape
   chunk = merged[:, :, r0:r1]
   if tonemap == "linear":
@@ -487,7 +492,7 @@ def _banded_scan_finish_chunk(merged, metrics, max_out, tonemap, gamma,
                               gamma).reshape(n, 12, r1 - r0, wh)
   if band_fmt == "yuv420":  # no-transform fast path: phase-form convert
     return yuv420_from_phases_u8(out12, mxu=mxu)
-  return phases_to_planar(out12)
+  return phases_to_planar_stack(out12)
 
 
 def process_banded(raws, prev, t, *, n_bands, fmt="packed12",

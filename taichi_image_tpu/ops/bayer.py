@@ -595,6 +595,34 @@ def phases_to_planar(x12, dtype=None):
   return t.reshape(n, 3, 2 * hh, 2 * wh).astype(dtype or x12.dtype)
 
 
+def phases_to_planar_stack(x12, dtype=None):
+  """(N, 12, hh, wh) phase-RGB -> full-res planar (N, 3, H, W) via two
+  minor-dim-2 STACK interleaves (lane interleave as
+  ``stack(..., axis=-1).reshape``, sublane as ``axis=-2`` — the
+  windowed-copy pattern :func:`subsample_hw` exploits in reverse).
+
+  Bitwise-equal to :func:`phases_to_planar`; which form is faster is
+  CONTEXT-dependent on this toolchain: inside the 8K banded finish
+  programs (u8, fused with the quantize producer) the stack form moves
+  the set at 142.8 ms vs the 6-d transpose's 208.8 (round 4,
+  tools/probe_large2.py close — the transpose family measured ~22 GB/s
+  there), while the 4K FUSED step's tail (in-program producers) keeps
+  the transpose: 7.29 vs 9.68 ms/step (tools/probe_interleave4k.py),
+  consistent with the round-1 standalone probe (3.1 vs 5.6 ms,
+  tools/probe_interleave.py). Each call site carries its measured
+  choice."""
+  n, _, hh, wh = x12.shape
+  x = x12.reshape(n, 2, 2, 3, hh, wh)    # (n, pc, pr, c, hh, wh)
+
+  def cols(pr):
+    return jnp.stack([x[:, 0, pr], x[:, 1, pr]], axis=-1).reshape(
+        n, 3, hh, 2 * wh)
+
+  out = jnp.stack([cols(0), cols(1)], axis=-2).reshape(
+      n, 3, 2 * hh, 2 * wh)
+  return out.astype(dtype or x12.dtype)
+
+
 def planar_to_phases(planar):
   """(N, 3, H, W) planar -> (N, 12, hh, wh) phase-RGB (inverse of
   :func:`phases_to_planar`)."""

@@ -76,21 +76,59 @@ def main(argv=None):
   images = load_images_iter(load_raw_bytes, folders, names)
   row_bytes = (args.width * 3) // 2
 
+  from collections import deque
+  from concurrent.futures import ThreadPoolExecutor
+
   from taichi_image_tpu.utils.debug import validate_raw_file
-  for name, group in progress(images, total=len(names), desc="tonemap"):
-    for b in group.values():
-      # clear error on a wrong --width instead of scrambled frames
-      validate_raw_file(b.size, args.width, "packed12")
-    raws = np.stack([b.reshape(-1, row_bytes) for b in group.values()])
-    outputs = isp.process(raws, ids_format=args.ids_format,
-                          gamma=args.gamma, intensity=args.intensity,
-                          light_adapt=args.light_adapt,
-                          color_adapt=args.color_adapt, layout="hwc")
-    grid = concat_image_grid(list(outputs), rows=args.rows)
+
+  if args.write is not None:
+    args.write.mkdir(exist_ok=True, parents=True)
+
+  def encode_and_write(name, planar):
+    # worker thread: planar (n, 3, h, w) host array -> HWC grid -> JPEG
+    grid = concat_image_grid(list(np.moveaxis(planar, 1, -1)),
+                             rows=args.rows)
+    write_image(args.write / f"{Path(name).stem}.jpg", grid)
+
+  def drain(pending, encodes, pool):
+    """Fetch the oldest in-flight device output (its D2H copy was
+    started at dispatch time) and hand it to an encode worker."""
+    name0, out0 = pending.popleft()
+    host = np.asarray(out0)
     if args.write is not None:
-      args.write.mkdir(exist_ok=True, parents=True)
-      filename = args.write / f"{Path(name).stem}.jpg"
-      write_image(filename, grid)
+      encodes.append(pool.submit(encode_and_write, name0, host))
+    while len(encodes) > 8:  # bound encode backlog / surface errors
+      encodes.pop(0).result()
+
+  # Pipelined driver (reference prefetch philosophy, tonemap_scan.py:70-87,
+  # extended to the device boundary): disk reads prefetch one set ahead
+  # (load_images_iter); JAX async dispatch overlaps the H2D upload and
+  # compute of set k+1 with set k still in flight; copy_to_host_async
+  # starts each result's D2H as soon as the step finishes; JPEG encoding
+  # runs on a thread pool. The EMA metering chain stays on device, so
+  # nothing in the loop blocks until a result is actually consumed.
+  pending, encodes = deque(), []
+  with ThreadPoolExecutor(max_workers=4) as pool:
+    for name, group in progress(images, total=len(names), desc="tonemap"):
+      for b in group.values():
+        # clear error on a wrong --width instead of scrambled frames
+        validate_raw_file(b.size, args.width, "packed12")
+      raws = np.stack([b.reshape(-1, row_bytes) for b in group.values()])
+      out = isp.process(raws, ids_format=args.ids_format,
+                        gamma=args.gamma, intensity=args.intensity,
+                        light_adapt=args.light_adapt,
+                        color_adapt=args.color_adapt, layout="planar")
+      try:
+        out.copy_to_host_async()
+      except AttributeError:
+        pass  # non-jax array (numpy fallback paths)
+      pending.append((name, out))
+      if len(pending) > 2:
+        drain(pending, encodes, pool)
+    while pending:
+      drain(pending, encodes, pool)
+    for f in encodes:
+      f.result()
 
 
 if __name__ == "__main__":

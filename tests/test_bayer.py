@@ -150,3 +150,21 @@ def test_subsample_hw_matches_strided_slice(shape, sr, sc, rng):
   ref = np.asarray(x)[..., ::sr, ::sc]
   got = np.asarray(subsample_hw(x, sr, sc))
   assert np.array_equal(ref, got)
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "float32", "bfloat16"])
+def test_phases_to_planar_stack_bitwise(dtype, rng):
+  """The stack-interleave form (round 4: the 8K finish's measured-fast
+  formulation) is BITWISE the 6-d transpose form, and round-trips
+  through planar_to_phases."""
+  import jax.numpy as jnp
+  from taichi_image_tpu.ops.bayer import (phases_to_planar,
+                                          phases_to_planar_stack,
+                                          planar_to_phases)
+  x = jnp.asarray((rng.random((2, 12, 6, 10)) * 255), jnp.float32)
+  x = x.astype(dtype)
+  a = np.asarray(phases_to_planar(x))
+  b = np.asarray(phases_to_planar_stack(x))
+  assert a.dtype == b.dtype and np.array_equal(a, b)
+  back = np.asarray(planar_to_phases(jnp.asarray(b)))
+  assert np.array_equal(back, np.asarray(x))
