@@ -1076,8 +1076,30 @@ def reinhard_gamma_ca(p_cast, max_out, gamma):
   """Gamma stage: (p in working dtype, per-image max of the f32 p) -> u8
   (reference camera_isp.py:211-218). ``gamma`` as the Python float 1.0
   (the reference default) skips the pow entirely (IEEE pow(x, 1) == x,
-  and numpy's oracle agrees exactly)."""
+  and numpy's oracle agrees exactly).
+
+  i32 ``p_cast`` is the Camera16 fast path's q16-packed map output
+  (ops/pallas/q16). The lo/hi halfwords are dequantized and quantized
+  to u8 SEPARATELY (two half-size elementwise chains that fuse onto the
+  kernel output) and only the final u8 is channel-interleaved back to
+  (n, 12, hh, wh): interleaving the i32 codes first makes XLA
+  materialize the full-res f32 map behind the layout change (+4 ms/step
+  at 6x4K — the same fuse-the-interleave-with-its-quantize-producer
+  rule as the banded 8K finish, docs/PERFORMANCE.md)."""
   max_out = jnp.maximum(1e-6, max_out)
+  if p_cast.dtype == jnp.int32:
+    from taichi_image_tpu.ops.pallas import q16
+
+    def finish_half(codes):
+      o = q16.decode_p(codes) / max_out
+      if not (isinstance(gamma, float) and gamma == 1.0):
+        o = _gamma_pow(o, 1.0 / gamma)
+      return jnp.clip(255.0 * o, 0, 255).astype(jnp.uint8)
+
+    lo8 = finish_half(q16.unpack_lo(p_cast))
+    hi8 = finish_half(q16.unpack_hi(p_cast))
+    n, nw, hh, wh = p_cast.shape
+    return jnp.stack([lo8, hi8], axis=2).reshape(n, 2 * nw, hh, wh)
   out = p_cast.astype(jnp.float32) / max_out
   if not (isinstance(gamma, float) and gamma == 1.0):
     out = _gamma_pow(out, 1.0 / gamma)
@@ -1505,6 +1527,28 @@ def yuv420_from_phases_u8(out12, mxu: bool = False):
   return y_u8, uv_u8
 
 
+def _q16_kernels_available(raw_shape, stride):
+  """True when all three Camera16 fast-path kernels can run on this
+  packed12 raw shape: the q12 decode, the q16 stencil (with sample
+  emission), and the q16 Reinhard map (ops/pallas/q16 module note).
+
+  TAICHI_IMAGE_TPU_STRICT_F16=1 closes the gate surgically (strict XLA
+  f16 boundary semantics without disabling the other Pallas kernels;
+  TAICHI_IMAGE_TPU_NO_PALLAS also closes it, along with everything
+  else)."""
+  import os as _os
+  if _os.environ.get("TAICHI_IMAGE_TPU_STRICT_F16", "") == "1":
+    return False
+  from taichi_image_tpu.ops.pallas import decode as pl_decode
+  from taichi_image_tpu.ops.pallas import demosaic as pl_dm
+  from taichi_image_tpu.ops.pallas import reinhard as pl_rh
+  _, h, wb = raw_shape
+  hh, wh = h // 2, wb // 3
+  return (pl_decode.decode_pallas_available(h, wb)
+          and pl_dm.q16_available(hh, wh, max(stride // 2, 1))
+          and pl_rh.reinhard_q16_available(hh, wh))
+
+
 def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
                    fmt, ids_format, work_dtype, pattern, cc, resize_plan,
                    stride, transform, tonemap, axis_name=None,
@@ -1526,7 +1570,24 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
   When ``axis_name`` is given the camera batch axis is assumed sharded
   over that mesh axis and metering completes with collectives.
   """
-  phases = load_raw_phases(raws, fmt, work_dtype, ids_format)
+  # Camera16 q16 fast path (ops/pallas/q16 module note): the f16
+  # working dtype cannot ride Mosaic kernels directly (no f16 I/O), so
+  # the reference-default pipeline runs on 16-bit fixed-point containers
+  # packed 2-per-i32 — >= f16 precision at every boundary the strict
+  # XLA f16 path materializes f16 (decoded phases BIT-EXACT, x12 at
+  # 2^-17, pre-gamma p at 2^-16 with the max over exact f32 p), final
+  # u8 within <=1 count of the strict path (tests/test_q16.py,
+  # tools/verify_tpu.py on chip). Gated to the reference-default
+  # configuration; everything else falls back to the strict XLA path.
+  q16_route = (types.canonical_dtype(work_dtype) == types.f16
+               and fmt == "packed12" and tonemap == "reinhard"
+               and resize_plan is None and stride % 2 == 0
+               and isinstance(color_adapt, float) and color_adapt == 0.0
+               and isinstance(gamma, float) and 0.0 < gamma <= 1.5
+               and not debug_checks
+               and _q16_kernels_available(raws.shape, stride))
+  phases = (None if q16_route
+            else load_raw_phases(raws, fmt, work_dtype, ids_format))
   if debug_checks:
     # Compiled-in validation (TAICHI_IMAGE_TPU_DEBUG; the reference's
     # ti.init(debug=True) analogue, SURVEY.md §5). The f16/f32 loader
@@ -1560,7 +1621,12 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
     front_fused = _pallas_dm.front_fused_available(
         phases.shape[-2], phases.shape[-1],
         in_bf16=phases.dtype == jnp.bfloat16)
-  if front_fused:
+  if q16_route:
+    from taichi_image_tpu.ops.pallas import decode as pl_decode
+    packed = pl_decode.decode12_phases_q16(raws, ids_format)
+    x12, strided_sample = bayer_ops.demosaic_phases_q16(
+        packed, pattern, cc=cc, sample_step=max(stride // 2, 1))
+  elif front_fused:
     pass  # demosaic runs fused with the map below
   elif want_sample:
     x12, strided_sample = demosaic_phases(
@@ -1614,7 +1680,8 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
     else:
       raise ValueError(f"unknown tonemap {tonemap}")
   else:
-    n, _, hh, wh = phases.shape  # x12 shares the phase-plane spatial dims
+    # x12 shares the phase-plane spatial dims (q16 route: phases is None)
+    n, _, hh, wh = (phases if phases is not None else x12).shape
     # full-res stride-8 pixels are exactly phase (0,0) at half-res stride 4
     if front_fused:
       # metrics come from the strided-conv sample pre-pass (one read of
@@ -1627,9 +1694,17 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
       out12 = reinhard_gamma_ca(cast, max_out, gamma)
     elif tonemap == "reinhard":
       new_metrics = _meter(strided_sample)
-      cast, max_out = reinhard_map_max_ca(
-          x12.reshape(n, 4, 3, hh, wh), new_metrics, intensity,
-          light_adapt, color_adapt, work_dtype)
+      if q16_route:
+        from taichi_image_tpu.ops.pallas.reinhard import (
+            reinhard_map_q16_dma)
+        cast, max_out = reinhard_map_q16_dma(x12, new_metrics, intensity,
+                                             light_adapt)
+        if axis_name is not None:
+          max_out = jax.lax.pmax(max_out, axis_name)
+      else:
+        cast, max_out = reinhard_map_max_ca(
+            x12.reshape(n, 4, 3, hh, wh), new_metrics, intensity,
+            light_adapt, color_adapt, work_dtype)
       out12 = reinhard_gamma_ca(cast, max_out, gamma)
     elif tonemap == "linear":
       new_metrics = _meter(strided_sample)

@@ -484,6 +484,31 @@ def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",
   return out, samp
 
 
+def demosaic_phases_q16(packed, pattern: BayerPattern, cc=None,
+                        method="mhc", sample_step: int = 0,
+                        interpret: bool = False):
+  """Camera16 fast-path demosaic on q16 containers (ops/pallas/q16):
+  (N, 2, hh, wh) i32 q12-packed raw phase codes -> (N, 6, hh, wh) i32
+  q16-packed final x12 codes, with border renorm + optional CCM + clip
+  fused in-kernel (same math as :func:`demosaic_phases` with a bf16/f32
+  working dtype — reference bayer.py:137-155 stencil + camera_isp.py
+  CCM fold). ``sample_step`` > 0 additionally returns the metering
+  sample grid as exact f32 of the DEQUANTIZED output codes.
+
+  TPU-only (the caller gates on ops.pallas.demosaic.q16_available);
+  ``interpret=True`` runs the kernel in interpreter mode for CPU tests.
+  """
+  n, _, hh, wh = packed.shape
+  weights = _demosaic_tables(pattern, method)
+  from taichi_image_tpu.ops.pallas import demosaic as pallas_dm
+  tiles = pallas_dm.q16_tiling(hh, wh, sample_step)
+  assert tiles is not None, f"no q16 tiling for {(hh, wh, sample_step)}"
+  fin = _stencil_finish_spec(weights, hh, wh, cc, jnp.float32)
+  return pallas_dm.demosaic_stencil(packed, weights, *tiles,
+                                    interpret=interpret,
+                                    sample_step=sample_step, finish=fin)
+
+
 def _samples_shift(phases, weights, s, hh, wh):
   """Sample-grid demosaic numerators via per-tap offset slices +
   reshape-select subsample (no convolution op): each tap reads the

@@ -69,7 +69,7 @@ def decode_tiling(h: int, wb: int) -> int | None:
   return best
 
 
-def _decode_kernel(tr, wh, ni, nt, scale, ids, hbm_ref, sel_ref,
+def _decode_kernel(tr, wh, ni, nt, scale, ids, q12, hbm_ref, sel_ref,
                    rsel_ref, out_ref, scratch, sems):
   t = pl.program_id(0)
 
@@ -108,10 +108,17 @@ def _decode_kernel(tr, wh, ni, nt, scale, ids, hbm_ref, sel_ref,
         b2hi = jnp.floor(b2 * (1.0 / 16.0))
         even = b0 * 16.0 + (b2 - b2hi * 16.0)
         odd = b1 * 16.0 + b2hi
-      out_ref[0, 2 * q + 0, :, 128 * g:128 * (g + 1)] = (
-          even * scale).astype(jnp.bfloat16)
-      out_ref[0, 2 * q + 1, :, 128 * g:128 * (g + 1)] = (
-          odd * scale).astype(jnp.bfloat16)
+      if q12:
+        # Camera16 fast path: pack the raw 12-bit codes (exact f32
+        # integers) as even | odd << 16 — BIT-EXACT, no f16 rounding
+        # (ops/pallas/q16 module note)
+        out_ref[0, q, :, 128 * g:128 * (g + 1)] = (
+            even.astype(jnp.int32) | (odd.astype(jnp.int32) << 16))
+      else:
+        out_ref[0, 2 * q + 0, :, 128 * g:128 * (g + 1)] = (
+            even * scale).astype(jnp.bfloat16)
+        out_ref[0, 2 * q + 1, :, 128 * g:128 * (g + 1)] = (
+            odd * scale).astype(jnp.bfloat16)
 
 
 def decode12_phases_bf16(raws_u8, ids_format: bool = False,
@@ -129,7 +136,8 @@ def decode12_phases_bf16(raws_u8, ids_format: bool = False,
     return (t // ni, 0, t % ni, 0)
 
   kernel = functools.partial(_decode_kernel, tr, wh, ni, nt,
-                             float(1.0 / 4095.0), bool(ids_format))
+                             float(1.0 / 4095.0), bool(ids_format),
+                             False)
   return pl.pallas_call(
       kernel,
       out_shape=jax.ShapeDtypeStruct((n, 4, h // 2, wh), jnp.bfloat16),
@@ -142,6 +150,46 @@ def decode12_phases_bf16(raws_u8, ids_format: bool = False,
                        memory_space=pltpu.VMEM),
       ],
       out_specs=pl.BlockSpec((1, 4, tr // 2, wh), out_map,
+                             memory_space=pltpu.VMEM),
+      scratch_shapes=[
+          pltpu.VMEM((2, tr, wb), jnp.uint8),
+          pltpu.SemaphoreType.DMA((2,)),
+      ],
+      interpret=interpret,
+  )(raws_u8, jnp.asarray(_sel384()), jnp.asarray(_rsel(tr)))
+
+
+def decode12_phases_q16(raws_u8, ids_format: bool = False,
+                        interpret: bool = False):
+  """(N, H, W*3/2) u8 packed12 -> (N, 2, H/2, W/2) i32 q12-packed phase
+  codes (word c = raw code of phase 2c | phase 2c+1 << 16) — the
+  Camera16 fast-path loader (ops/pallas/q16 module note). BIT-EXACT:
+  the packed words carry the raw 12-bit sensor codes; dequantize with
+  ``code * (1/4095)``."""
+  n, h, wb = raws_u8.shape
+  wh = wb // 3
+  tr = decode_tiling(h, wb)
+  assert tr is not None, (h, wb)
+  ni = h // tr
+  nt = n * ni
+
+  def out_map(t):
+    return (t // ni, 0, t % ni, 0)
+
+  kernel = functools.partial(_decode_kernel, tr, wh, ni, nt,
+                             1.0, bool(ids_format), True)
+  return pl.pallas_call(
+      kernel,
+      out_shape=jax.ShapeDtypeStruct((n, 2, h // 2, wh), jnp.int32),
+      grid=(nt,),
+      in_specs=[
+          pl.BlockSpec(memory_space=pl.ANY),
+          pl.BlockSpec((384, 384), lambda t: (0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((2, tr // 2, tr), lambda t: (0, 0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((1, 2, tr // 2, wh), out_map,
                              memory_space=pltpu.VMEM),
       scratch_shapes=[
           pltpu.VMEM((2, tr, wb), jnp.uint8),

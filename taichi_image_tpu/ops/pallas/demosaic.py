@@ -24,6 +24,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from taichi_image_tpu.ops.pallas import q16
+
 _HALO_R, _HALO_C = 4, 128
 _VMEM_BUDGET = 12 * 1024 * 1024  # leaves headroom under the 16M VMEM
 
@@ -86,7 +88,7 @@ def _waste(n: int, t: int) -> int:
 
 
 def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
-                    finish, tonemap, *refs):
+                    finish, tonemap, q16_io, *refs):
   """Double-buffered halo stencil: while tile t computes, tile t+1's halo
   block is already in flight (DMA overlap measured +12%).
 
@@ -143,7 +145,18 @@ def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
     dma((t + 1) % 2, t + 1).start()
 
   dma(t % 2, t).wait()
-  if scratch.dtype == jnp.bfloat16:
+  if q16_io:
+    # Camera16 fast path (ops/pallas/q16): the halo block is q12-packed
+    # i32 words (phase 2c | phase 2c+1 << 16) — same DMA bytes as bf16.
+    # Unpack to the 4 phase channels as f32 of the RAW 12-bit codes
+    # (exact); the 1/4095 dequantization is folded into inv_full by the
+    # wrapper (taps are linear in the input).
+    w = scratch[t % 2]
+    cur = jnp.stack([q16.unpack_lo(w[0]).astype(jnp.float32),
+                     q16.unpack_hi(w[0]).astype(jnp.float32),
+                     q16.unpack_lo(w[1]).astype(jnp.float32),
+                     q16.unpack_hi(w[1]).astype(jnp.float32)])
+  elif scratch.dtype == jnp.bfloat16:
     # bf16 input halves the halo-DMA traffic; compute stays f32
     # (bf16 -> f32 convert is exact, so values are bit-identical to the
     # f32-input path)
@@ -184,11 +197,7 @@ def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
           a = s if a is None else a + s
     return a * inv_full[oc]
 
-  def emit(oc, val):
-    if finish is not None:
-      out_ref[0, oc] = val.astype(out_ref.dtype)
-    else:
-      out_ref[0, oc] = val
+  def emit_sample(oc, val):
     if sample_step and oc < 3:
       # HIGHEST precision: Mosaic's default f32 dot is bf16-reduced on
       # the MXU, which rounds the sampled values (caught on-chip by
@@ -199,6 +208,13 @@ def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
       samp_ref[0, oc] = jnp.dot(rsel_ref[...], cols,
                                 precision=jax.lax.Precision.HIGHEST,
                                 preferred_element_type=jnp.float32)
+
+  def emit(oc, val):
+    if finish is not None:
+      out_ref[0, oc] = val.astype(out_ref.dtype)
+    else:
+      out_ref[0, oc] = val
+    emit_sample(oc, val)
 
   if finish is None:
     for oc in range(12):
@@ -216,6 +232,7 @@ def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
     mean_s, eni, la = s_ref[3], s_ref[4], s_ref[5]
     mx = None
 
+  pend_code = None  # q16 output pairing: at most one channel buffered
   for p in range(4):
     vals = []
     for c in range(3):
@@ -234,8 +251,26 @@ def _stencil_kernel(w12, inv_full, tr, tw, ni, nj, nt, sample_step,
       vals = [vals[0] * float(ccm[d, 0]) + vals[1] * float(ccm[d, 1])
               + vals[2] * float(ccm[d, 2]) for d in range(3)]
     if not tonemap:
-      for c in range(3):
-        emit(3 * p + c, jnp.clip(vals[c], 0.0, 1.0))
+      if q16_io:
+        # Camera16 fast path: encode the finished channels as u16 codes
+        # on the post-clip [0, 1] domain and write channel-pair words
+        # (word w = ch 2w | ch 2w+1 << 16). Metering samples are taken
+        # from the DEQUANTIZED codes so metering sees exactly the
+        # values the map kernel will read (ops/pallas/q16 module note).
+        codes = [q16.encode_x12(jnp.clip(v, 0.0, 1.0)) for v in vals]
+        for c in range(3):
+          emit_sample(3 * p + c, q16.decode_x12(codes[c]))
+        if p % 2 == 0:
+          out_ref[0, 3 * p // 2] = q16.pack_pair(codes[0], codes[1])
+          pend_code = codes[2]
+        else:
+          out_ref[0, (3 * p - 1) // 2] = q16.pack_pair(pend_code,
+                                                       codes[0])
+          out_ref[0, (3 * p + 1) // 2] = q16.pack_pair(codes[1],
+                                                       codes[2])
+      else:
+        for c in range(3):
+          emit(3 * p + c, jnp.clip(vals[c], 0.0, 1.0))
       continue
     # quantize-then-map: the composed path materializes x12 in the
     # working dtype before the map kernel reads it — replicate that
@@ -278,19 +313,32 @@ def demosaic_stencil(phases_f32, weights: np.ndarray, tr: int, tw: int,
   cc, out_dtype} — fuse border renorm + optional CCM + clip + cast
   in-kernel and emit the FINAL x12 (and final f32 samples) instead of
   numerators. Only valid for whole images (static borders).
+
+  i32 input = the Camera16 fast path (ops/pallas/q16): ``phases_f32``
+  is (N, 2, hh, wh) q12-packed raw codes; requires ``finish`` and
+  returns (N, 6, hh, wh) q16-packed x12 codes (samples stay exact f32
+  of the dequantized codes).
   """
   n, _, hh, wh = phases_f32.shape
+  q16_io = phases_f32.dtype == jnp.int32
+  assert not q16_io or finish is not None, "q16 input requires finish"
   ni, nj = -(-hh // tr), -(-wh // tw)
   nt = n * ni * nj
   # pad up to the tile grid plus halos; zero padding keeps the dropped-tap
   # renorm semantics, and the wrapper trims the grid overhang afterwards
+  # (packed zero words decode to zero phases, so q16 padding is identical)
   padded = jnp.pad(phases_f32,
                    ((0, 0), (0, 0),
                     (_HALO_R, _HALO_R + ni * tr - hh),
                     (_HALO_C, _HALO_C + nj * tw - wh)))
-  inv_full = tuple(float(1.0 / s) for s in weights.sum(axis=(1, 2, 3)))
+  full = weights.sum(axis=(1, 2, 3))
+  # q16: taps run on the RAW 12-bit codes; fold the 1/4095 dequantization
+  # into the normalization (taps are linear in the input)
+  inv_full = tuple(float(1.0 / s) * (q16.PH_INV if q16_io else 1.0)
+                   for s in full)
   kernel = functools.partial(_stencil_kernel, weights, inv_full, tr, tw,
-                             ni, nj, nt, sample_step, finish, False)
+                             ni, nj, nt, sample_step, finish, False,
+                             q16_io)
 
   def out_map(t):
     nn = t // (ni * nj)
@@ -298,9 +346,12 @@ def demosaic_stencil(phases_f32, weights: np.ndarray, tr: int, tw: int,
     return (nn, 0, r // nj, r % nj)
 
   out_dtype = finish["out_dtype"] if finish is not None else jnp.float32
-  out_shapes = [jax.ShapeDtypeStruct((n, 12, ni * tr, nj * tw),
+  out_ch = 6 if q16_io else 12
+  if q16_io:
+    out_dtype = jnp.int32
+  out_shapes = [jax.ShapeDtypeStruct((n, out_ch, ni * tr, nj * tw),
                                      out_dtype)]
-  out_specs = [pl.BlockSpec((1, 12, tr, tw), out_map,
+  out_specs = [pl.BlockSpec((1, out_ch, tr, tw), out_map,
                             memory_space=pltpu.VMEM)]
   in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
   operands = [padded]
@@ -330,8 +381,8 @@ def demosaic_stencil(phases_f32, weights: np.ndarray, tr: int, tw: int,
       in_specs=in_specs,
       out_specs=out_specs,
       scratch_shapes=[
-          pltpu.VMEM((2, 4, tr + 2 * _HALO_R, tw + 2 * _HALO_C),
-                     phases_f32.dtype),
+          pltpu.VMEM((2, padded.shape[1], tr + 2 * _HALO_R,
+                      tw + 2 * _HALO_C), phases_f32.dtype),
           pltpu.SemaphoreType.DMA((2,)),
       ],
       interpret=interpret,
@@ -353,6 +404,20 @@ def pallas_available(hh: int, wh: int) -> bool:
   not disabled via TAICHI_IMAGE_TPU_NO_PALLAS."""
   from taichi_image_tpu.ops.pallas import backend_enabled
   return backend_enabled() and tiling_for(hh, wh) is not None
+
+
+def q16_tiling(hh: int, wh: int, sample_step: int = 0):
+  """Tiling for the q16-packed stencil: halo bytes match bf16 (2 i32
+  words carry 4 channels), output bytes match bf16 x12 (6 i32 words);
+  the unpacked f32 halo temporary is budgeted like the bf16 convert."""
+  return tiling_for(hh, wh, sample_step, in_bf16=True, out_bf16=True,
+                    extra_f32_tmp=4)
+
+
+def q16_available(hh: int, wh: int, sample_step: int = 0) -> bool:
+  """True when the q16 stencil fast path can run (Camera16)."""
+  from taichi_image_tpu.ops.pallas import backend_enabled
+  return backend_enabled() and q16_tiling(hh, wh, sample_step) is not None
 
 
 # Map-stage f32 temporaries the fused-tonemap kernel keeps live per tile
@@ -386,7 +451,7 @@ def demosaic_reinhard_stencil(phases, weights: np.ndarray, tr: int,
                     (_HALO_C, _HALO_C + nj * tw - wh)))
   inv_full = tuple(float(1.0 / s) for s in weights.sum(axis=(1, 2, 3)))
   kernel = functools.partial(_stencil_kernel, weights, inv_full, tr, tw,
-                             ni, nj, nt, 0, finish, True)
+                             ni, nj, nt, 0, finish, True, False)
 
   def out_map(t):
     nn = t // (ni * nj)

