@@ -49,6 +49,16 @@ def main(argv=None):
                            "(reference: ti.init(debug=True))")
   parser.add_argument("--dtype", choices=["f16", "f32", "bf16"],
                       default="f32")
+  parser.add_argument("--pipeline_depth", type=int, default=2,
+                      help="device outputs kept in flight before the "
+                           "oldest is fetched (0 = fully serial — the "
+                           "round-3 driver, kept for same-session "
+                           "comparisons)")
+  parser.add_argument("--fetch", choices=["rgb", "yuv420"], default="rgb",
+                      help="yuv420 fetches fused I420 from the device "
+                           "(half the D2H bytes — the win when the "
+                           "host link is the bottleneck, e.g. the axon "
+                           "tunnel) and JPEG-encodes from YCbCr")
   args = parser.parse_args(argv)
 
   if args.debug:
@@ -90,13 +100,37 @@ def main(argv=None):
                              rows=args.rows)
     write_image(args.write / f"{Path(name).stem}.jpg", grid)
 
+  def encode_and_write_i420(name, y, uv):
+    # worker thread: I420 (Y (n, H, W), UV (n, 2, H/2, W/2)) ->
+    # per-camera HWC YCbCr (chroma nearest-upsampled) -> grid -> JPEG.
+    # JPEG is natively YCbCr 4:2:0, so PIL encodes this mode without an
+    # RGB trip. Plane mapping measured against the RGB output on
+    # saturated patches: uv[1] carries the Cr-like plane (red -> 240),
+    # uv[0] the Cb-like one. Saturated colors keep the reference
+    # yuv_420 kernel's channel-REVERSED matrix quirk
+    # (ops/color.py:35-41) — this mode reproduces the reference's
+    # yuv420 values, not libjpeg's BT.601.
+    cams = []
+    for i in range(y.shape[0]):
+      cb = uv[i, 0].repeat(2, axis=0).repeat(2, axis=1)
+      cr = uv[i, 1].repeat(2, axis=0).repeat(2, axis=1)
+      cams.append(np.stack([y[i], cb, cr], axis=-1))
+    grid = concat_image_grid(cams, rows=args.rows)
+    write_image(args.write / f"{Path(name).stem}.jpg", grid,
+                mode="YCbCr")
+
   def drain(pending, encodes, pool):
     """Fetch the oldest in-flight device output (its D2H copy was
     started at dispatch time) and hand it to an encode worker."""
     name0, out0 = pending.popleft()
-    host = np.asarray(out0)
-    if args.write is not None:
-      encodes.append(pool.submit(encode_and_write, name0, host))
+    if args.fetch == "yuv420":
+      host = tuple(np.asarray(o) for o in out0)
+      if args.write is not None:
+        encodes.append(pool.submit(encode_and_write_i420, name0, *host))
+    else:
+      host = np.asarray(out0)
+      if args.write is not None:
+        encodes.append(pool.submit(encode_and_write, name0, host))
     while len(encodes) > 8:  # bound encode backlog / surface errors
       encodes.pop(0).result()
 
@@ -117,13 +151,16 @@ def main(argv=None):
       out = isp.process(raws, ids_format=args.ids_format,
                         gamma=args.gamma, intensity=args.intensity,
                         light_adapt=args.light_adapt,
-                        color_adapt=args.color_adapt, layout="planar")
-      try:
-        out.copy_to_host_async()
-      except AttributeError:
-        pass  # non-jax array (numpy fallback paths)
+                        color_adapt=args.color_adapt, layout="planar",
+                        color_format=("yuv420" if args.fetch == "yuv420"
+                                      else "rgb"))
+      for o in (out if isinstance(out, tuple) else (out,)):
+        try:
+          o.copy_to_host_async()
+        except AttributeError:
+          pass  # non-jax array (numpy fallback paths)
       pending.append((name, out))
-      if len(pending) > 2:
+      if len(pending) > args.pipeline_depth:
         drain(pending, encodes, pool)
     while pending:
       drain(pending, encodes, pool)

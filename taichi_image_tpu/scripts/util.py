@@ -103,10 +103,16 @@ def concat_image_grid(images: List[np.ndarray], rows: int) -> np.ndarray:
   return np.concatenate(grid_rows, axis=0)
 
 
-def write_image(path: Path, image: np.ndarray, quality: int = 96):
-  """Write an RGB u8 image (JPEG/PNG by suffix) via PIL."""
+def write_image(path: Path, image: np.ndarray, quality: int = 96,
+                mode: str | None = None):
+  """Write a u8 image (JPEG/PNG by suffix) via PIL. ``mode='YCbCr'``
+  encodes JPEG natively from (h, w, 3) YCbCr without an RGB trip (the
+  tonemap_scan --fetch yuv420 path)."""
   from PIL import Image
-  Image.fromarray(np.asarray(image)).save(str(path), quality=quality)
+  im = Image.fromarray(np.asarray(image), mode=mode)
+  if mode == "YCbCr" and path.suffix.lower() not in (".jpg", ".jpeg"):
+    im = im.convert("RGB")  # PNG etc. cannot store YCbCr
+  im.save(str(path), quality=quality)
 
 
 def progress(iterable, total=None, desc=""):

@@ -69,6 +69,48 @@ def test_tonemap_scan_end_to_end(tmp_path):
   assert img.std() > 5  # not a blank image
 
 
+def test_tonemap_scan_serial_matches_pipelined(tmp_path):
+  """--pipeline_depth 0 (the serial round-3 driver) writes the same
+  JPEGs as the pipelined default (pipelining only reorders host work;
+  the EMA chain order is identical)."""
+  pytest.importorskip("PIL")
+  scan = _write_scan(tmp_path / "scan", h=64, w=96)
+  out_p, out_s = tmp_path / "outp", tmp_path / "outs"
+  from taichi_image_tpu.scripts.tonemap_scan import main
+  base = ["--scan", str(scan), "--width", "96", "--resize_width", "48",
+          "--transform", "none", "--rows", "1"]
+  main(base + ["--write", str(out_p)])
+  main(base + ["--write", str(out_s), "--pipeline_depth", "0"])
+  for f in sorted(out_p.glob("*.jpg")):
+    assert (out_s / f.name).read_bytes() == f.read_bytes()
+
+
+def test_tonemap_scan_i420_fetch(tmp_path):
+  """--fetch yuv420 halves the D2H bytes (the device emits fused I420;
+  JPEG encodes natively from YCbCr) and stays close to the RGB-fetch
+  output: JPEG is itself YCbCr 4:2:0, so the only differences are the
+  ISP's BT.601 matrix quirks vs libjpeg's and the nearest (vs fancy)
+  chroma upsample."""
+  pytest.importorskip("PIL")
+  from PIL import Image
+  scan = _write_scan(tmp_path / "scan", h=64, w=96)
+  out_rgb, out_yuv = tmp_path / "outr", tmp_path / "outy"
+  from taichi_image_tpu.scripts.tonemap_scan import main
+  base = ["--scan", str(scan), "--width", "96", "--resize_width", "48",
+          "--transform", "none", "--rows", "1"]
+  main(base + ["--write", str(out_rgb)])
+  main(base + ["--write", str(out_yuv), "--fetch", "yuv420"])
+  files = sorted(out_yuv.glob("*.jpg"))
+  assert len(files) == 3
+  for f in files:
+    a = np.asarray(Image.open(out_rgb / f.name)).astype(np.float64)
+    b = np.asarray(Image.open(f)).astype(np.float64)
+    assert a.shape == b.shape == (32, 96, 3)
+    mse = ((a - b) ** 2).mean()
+    psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+    assert psnr > 30, f"{f.name}: {psnr:.1f} dB"
+
+
 def test_tonemap_images_end_to_end(tmp_path):
   pytest.importorskip("PIL")
   from PIL import Image

@@ -43,13 +43,13 @@ def write_scan(root: Path, n_sets: int):
       (d / f"frame{f:04d}.raw").write_bytes(raw.tobytes())
 
 
-def run_cli(scan: Path, out: Path, n_sets: int):
+def run_cli(scan: Path, out: Path, n_sets: int, extra=()):
   from taichi_image_tpu.scripts import tonemap_scan
   t0 = time.perf_counter()
   tonemap_scan.main([
       "--scan", str(scan), "--width", str(W), "--resize_width", "960",
       "--dtype", "bf16", "--rows", "2", "--write", str(out),
-  ])
+  ] + list(extra))
   return time.perf_counter() - t0
 
 
@@ -66,10 +66,13 @@ def main():
     assert len(jpgs) == n_sets, (len(jpgs), n_sets)
     print(f"cold: {cold:6.2f} s  ({n_sets / cold:.2f} sets/s)", flush=True)
 
-    shutil.rmtree(out)
-    warm = min(run_cli(scan, out, n_sets) for _ in range(2))
-    print(f"warm: {warm:6.2f} s  ({n_sets / warm:.2f} sets/s, "
-          f"{n_sets * N_CAMS / warm:.1f} f/s)", flush=True)
+    for tag, extra in (("pipelined", ()),
+                       ("serial   ", ("--pipeline_depth", "0")),
+                       ("i420fetch", ("--fetch", "yuv420"))):
+      shutil.rmtree(out, ignore_errors=True)
+      warm = min(run_cli(scan, out, n_sets, extra) for _ in range(2))
+      print(f"warm {tag}: {warm:6.2f} s  ({n_sets / warm:.2f} sets/s, "
+            f"{n_sets * N_CAMS / warm:.1f} f/s)", flush=True)
   finally:
     shutil.rmtree(root, ignore_errors=True)
 
