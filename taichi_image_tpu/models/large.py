@@ -25,15 +25,16 @@ pixels (the staged metering reduction is a separately-compiled program
 whose f32 summation associates differently — metrics agree to the last
 ulp; tests/test_large.py pins this contract).
 
-Two drivers share the per-band programs: a Python LOOP (any shape,
-composes with the resize policy) and a ``lax.scan`` single-program form
-(``_banded_scan_step``, auto-selected when the row count admits equal
-stride-and-kernel-aligned bands, there is no resize, and both drivers'
-band shapes resolve to the same demosaic route) — bitwise-equal
-outputs under auto selection (a forced ``driver="scan"`` whose bands
-route differently from the loop's may differ by ~1 bf16 ulp when a CCM
-is set), equal wall clock at 6×8K, ~5× fewer programs and ~3× faster
-cold-start for the scan form (docs/PERFORMANCE.md "8K banded driver").
+Three drivers: the FLAT whole-frame-kernel front (round 4,
+``_flat_front_step`` — the Pallas kernels tile arbitrary extents, the
+compile limit above is an XLA-op-extent limit, so decode/stencil/map
+run as full-frame kernel programs feeding the same chunked finish;
+1.9x the scan driver at 6x8K, 67 vs 129 ms/set,
+tools/probe_8k_flat.py), a ``lax.scan`` single-program band form
+(``_banded_scan_step``), and a Python band LOOP (any shape, composes
+with the resize policy). ``driver="auto"`` prefers flat > scan > loop
+and guarantees BITWISE-equal outputs across them (see
+``process_banded``).
 """
 
 from __future__ import annotations
@@ -457,6 +458,74 @@ def _banded_scan_step(raws, prev, t, b, fmt, ids_format, work_dtype,
   return metrics, _merge(p_b), jnp.max(mx_b, axis=0)
 
 
+def _flat_available(h, wb, fmt, wd, color_adapt, stride, tonemap):
+  """True when the FLAT full-frame-kernel front can run (round 4): the
+  Pallas kernels tile arbitrary extents — the ``_BAND_ROWS_MAX``
+  compiler crash is an XLA-op-extent limit, not a kernel limit — so a
+  bf16 packed12 frame of any size can run decode/stencil/map as three
+  whole-frame kernel programs instead of the band scan. Measured at
+  6x8K: 67 vs 129 ms/set for the scan driver in the same session
+  (tools/probe_8k_flat.py) — the in-scan decode and stencil ran ~3x
+  below their kernel rates (stacked-ys layouts + per-band
+  dynamic-slice), the full-frame kernels run at full rate."""
+  if fmt != "packed12" or wd != types.bf16:
+    return False
+  if (tonemap == "reinhard"
+      and not (isinstance(color_adapt, float) and color_adapt == 0.0)):
+    return False
+  from taichi_image_tpu.ops.pallas import decode as pl_decode
+  from taichi_image_tpu.ops.pallas import demosaic as pl_dm
+  from taichi_image_tpu.ops.pallas import reinhard as pl_rh
+  hh, wh = h // 2, decoded_width(fmt, wb) // 2
+  sq = max(stride // 2, 1)
+  return (pl_decode.decode_pallas_available(h, wb)
+          and pl_dm.pallas_available(hh, wh)
+          and pl_dm.tiling_for(hh, wh, sq, in_bf16=True,
+                               out_bf16=True) is not None
+          and (tonemap != "reinhard"
+               or pl_rh.reinhard_bf16_available(12, hh, wh)))
+
+
+@partial(jax.jit, static_argnames=("ids_format", "pattern", "cc",
+                                   "stride", "intensity", "light_adapt",
+                                   "tonemap"))
+def _flat_front_step(raws, prev, t, ids_format, pattern, cc, stride,
+                     intensity, light_adapt, tonemap):
+  """The flat front: whole-frame Pallas decode -> fused-finish demosaic
+  stencil (with in-kernel metering-sample emission) -> EMA metering ->
+  whole-frame bf16 Reinhard map, as ONE jit program (the XLA glue
+  between kernels is extent-trivial, so the 8K compile limit never
+  engages). Same return contract as ``_banded_scan_step``:
+  (metrics, merged p or x12 (N, 12, hh, wh), max_out). Values are
+  BITWISE-equal to the unbanded ``fused_isp_step`` kernel route — this
+  IS the unbanded math (per-element kernel arithmetic is
+  tile-independent), so the loop/scan drivers match it bitwise whenever
+  their bands take the Pallas route (the auto selector checks)."""
+  from taichi_image_tpu.ops.bayer import demosaic_phases
+  from taichi_image_tpu.ops.pallas import decode as pl_decode
+  from taichi_image_tpu.ops.pallas.reinhard import reinhard_map_bf16_dma
+  phases = pl_decode.decode12_phases_bf16(raws, ids_format)
+  sq = max(stride // 2, 1)
+  x12, samp = demosaic_phases(phases, pattern, cc=cc,
+                              out_dtype=types.bf16, backend="bayer_pl",
+                              sample_step=sq)
+  # The barrier makes the bf16 rounding of the kernel's f32 samples
+  # REAL: with metering fused into the same program, XLA's
+  # allow-excess-precision pass elides the bf16->f32 cast pair and
+  # meters un-rounded f32 samples — metrics drift ~1e-3 vs the
+  # loop/scan drivers (which materialize bf16 samples at program/scan
+  # boundaries), breaking the all-drivers-bitwise contract. Found on
+  # chip (verify_tpu banded_flat_vs_loop_onchip).
+  samp = jax.lax.optimization_barrier(samp)
+  n_total = samp.shape[0] * samp.shape[2] * samp.shape[3]
+  metrics = metering_update_ca(samp, prev, t, n_total=n_total)
+  if tonemap == "linear":
+    return metrics, x12, jnp.zeros((x12.shape[0], 1, 1, 1), jnp.float32)
+  p, max_out = reinhard_map_bf16_dma(x12, metrics, intensity,
+                                     light_adapt)
+  return metrics, p, max_out
+
+
 # Largest phase-row extent of one finish-chunk program: the gamma+
 # interleave fusion is proven at 4K (hh=1080) and an 8K-sized program
 # (hh=2160) fails the remote compiler outright, so chunks stay 4K-class.
@@ -521,15 +590,20 @@ def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
   permutation program at output size — band-local transforms would
   reorder the band layout itself).
 
-  ``driver``: "auto" (lax.scan single-program driver when the row count
-  admits equal stride-and-kernel-aligned bands, there is no resize, and
-  both drivers' band shapes take the same demosaic route; the
-  Python-loop driver otherwise), or "loop"/"scan" to force one. Under
-  auto selection the two drivers produce BITWISE-equal outputs and
-  equal wall clock; a forced "scan" whose bands route differently from
-  the loop's may differ by ~1 bf16 ulp when a CCM is set. The scan form
-  runs ~5× fewer programs and cold-starts ~3× faster
-  (docs/PERFORMANCE.md "8K banded driver").
+  ``driver``: "auto" picks the fastest available form — the FLAT
+  whole-frame-kernel front (decode/stencil/map as full-frame Pallas
+  programs, 1.9x the scan driver at 6x8K: 67 vs 129 ms/set,
+  tools/probe_8k_flat.py) when the kernels tile the shape (packed12,
+  bf16, color_adapt == 0, no resize), else the lax.scan single-program
+  band driver (equal stride-and-kernel-aligned bands, no resize, same
+  demosaic route for both band drivers), else the Python band loop.
+  "flat"/"scan"/"loop" force a form. Under auto selection all forms
+  produce BITWISE-equal outputs (the flat front is the unbanded kernel
+  math; auto takes it only when the loop's bands would ride the same
+  Pallas route). A forced "scan"/"flat" whose shapes route differently
+  from the loop's may differ by ~1 bf16 ulp when a CCM is set. The scan
+  form runs ~5× fewer programs than the loop and cold-starts ~3×
+  faster (docs/PERFORMANCE.md "8K banded driver").
 
   ``n_bands`` is treated as a MINIMUM: it is raised so no band exceeds
   ``_BAND_ROWS_MAX`` phase rows — band programs beyond that size crash
@@ -542,7 +616,7 @@ def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
     raise ValueError(f"unknown color_format {color_format!r}")
   if stride % 2 != 0:
     raise ValueError("banded processing needs an even metering stride")
-  if driver not in ("auto", "loop", "scan"):
+  if driver not in ("auto", "loop", "scan", "flat"):
     raise ValueError(f"unknown driver {driver!r}")
   raws = jnp.asarray(raws)
   h = raws.shape[-2]
@@ -564,6 +638,53 @@ def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
   band_fmt = (color_format if (resize_plan is None
                                and transform == ImageTransform.none)
               else "rgb")
+
+  def _assemble(metrics, merged, max_out):
+    """Shared scan/flat tail: <=_FINISH_CHUNK_ROWS gamma+interleave (or
+    phase-form I420) chunk programs over the merged (N, 12, hh, wh)
+    working-dtype front output, then the assembled-output transform /
+    color conversion."""
+    hh = h // 2
+    chunks = band_plan_rows(hh, -(-hh // _FINISH_CHUNK_ROWS), 1)
+    outs = [_banded_scan_finish_chunk(merged, metrics, max_out, tonemap,
+                                      float(gamma), band_fmt,
+                                      wd == types.bf16, r0, r1)
+            for (r0, r1) in chunks]
+    if band_fmt == "yuv420":
+      y = jnp.concatenate([o[0] for o in outs], axis=1)
+      uv = jnp.concatenate([o[1] for o in outs], axis=2)
+      return metrics, (y, uv)
+    out = jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
+    if transform != ImageTransform.none:
+      out = _jit_transform_assembled(out, transform)
+    if color_format == "yuv420":
+      return metrics, _jit_yuv_assembled(out)
+    return metrics, out
+
+  flat_ok = (resize_plan is None
+             and _flat_available(h, raws.shape[-1], fmt, wd, color_adapt,
+                                 stride, tonemap))
+  if driver == "flat" and not flat_ok:
+    raise ValueError(
+        "flat driver needs whole-frame Pallas kernels: packed12 input, "
+        "bf16 working dtype, color_adapt == 0, no resize_plan, and "
+        "kernel-tileable shapes — use driver='auto' to fall back")
+  if flat_ok and driver in ("auto", "flat"):
+    take = driver == "flat"
+    if not take:
+      # auto keeps the all-drivers-BITWISE-equal guarantee: flat is the
+      # unbanded kernel math, which the loop/scan drivers match bitwise
+      # only when every one of their bands takes the Pallas route
+      from taichi_image_tpu.ops.pallas import demosaic as pallas_dm
+      wh_r = decoded_width(fmt, raws.shape[-1]) // 2
+      take = all(pallas_dm.pallas_available(r1 - r0 + 2, wh_r)
+                 for r0, r1 in loop_plan)
+    if take:
+      prev = jnp.array(np.asarray(prev), jnp.float32)
+      metrics, merged, max_out = _flat_front_step(
+          raws, prev, jnp.float32(t), ids_format, pattern, cc, stride,
+          float(intensity), float(light_adapt), tonemap)
+      return _assemble(metrics, merged, max_out)
 
   if driver != "loop" and resize_plan is None:
     b_scan = scan_band_size(h // 2, n_bands,
@@ -596,22 +717,7 @@ def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
           raws, prev, jnp.float32(t), b_scan, fmt, ids_format, wd,
           pattern, cc, stride, float(intensity),
           float(light_adapt), float(color_adapt), tonemap)
-      hh = h // 2
-      chunks = band_plan_rows(hh, -(-hh // _FINISH_CHUNK_ROWS), 1)
-      outs = [_banded_scan_finish_chunk(merged, metrics, max_out,
-                                        tonemap, float(gamma), band_fmt,
-                                        wd == types.bf16, r0, r1)
-              for (r0, r1) in chunks]
-      if band_fmt == "yuv420":
-        y = jnp.concatenate([o[0] for o in outs], axis=1)
-        uv = jnp.concatenate([o[1] for o in outs], axis=2)
-        return metrics, (y, uv)
-      out = jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
-      if transform != ImageTransform.none:
-        out = _jit_transform_assembled(out, transform)
-      if color_format == "yuv420":
-        return metrics, _jit_yuv_assembled(out)
-      return metrics, out
+      return _assemble(metrics, merged, max_out)
   if driver == "scan":
     raise ValueError(
         "scan driver needs equal aligned bands and no resize_plan — "

@@ -279,6 +279,74 @@ def test_scan_driver_matches_loop_bitwise(monkeypatch):
                                rtol=0, atol=1e-6)
 
 
+def test_flat_driver_matches_loop_bitwise(monkeypatch):
+  """flat == loop BITWISE on u8 outputs (metrics to f32 ulps): the flat
+  front is the unbanded kernel math run as whole-frame kernel programs
+  (interpret mode on CPU); the loop's bands are forced onto the same
+  Pallas route. Covers rgb / yuv420 / linear and the multi-chunk
+  finish."""
+  import functools
+  import jax
+  from taichi_image_tpu import types
+  from taichi_image_tpu.ops.pallas import decode as pld
+  from taichi_image_tpu.ops.pallas import demosaic as pldm
+  from taichi_image_tpu.ops.pallas import reinhard as plrh
+
+  monkeypatch.setattr(pld, "decode12_phases_bf16",
+                      functools.partial(pld.decode12_phases_bf16,
+                                        interpret=True))
+  monkeypatch.setattr(pld, "decode_pallas_available",
+                      lambda h, wb: pld.decode_tiling(h, wb) is not None)
+  monkeypatch.setattr(pldm, "demosaic_stencil",
+                      functools.partial(pldm.demosaic_stencil,
+                                        interpret=True))
+  monkeypatch.setattr(pldm, "pallas_available",
+                      lambda hh, wh: pldm.tiling_for(hh, wh) is not None)
+  monkeypatch.setattr(plrh, "reinhard_map_bf16_dma",
+                      functools.partial(plrh.reinhard_map_bf16_dma,
+                                        interpret=True))
+  monkeypatch.setattr(plrh, "reinhard_bf16_available",
+                      lambda nc, hh, wh: plrh.bf16_tiling(hh, wh,
+                                                          nc) is not None)
+  monkeypatch.setattr(large, "_FINISH_CHUNK_ROWS", 16)
+
+  raws = _raws(2, h=64, w=256, seed=5)
+  prev = np.zeros(9, np.float32)
+  kw = dict(n_bands=2, work_dtype=types.bf16, pattern=BayerPattern.GBRG,
+            stride=2, gamma=0.9, intensity=1.5)
+  for extra in ({}, {"color_format": "yuv420"}, {"tonemap": "linear"}):
+    m_f, o_f = large.process_banded(raws, prev, 0.0, driver="flat",
+                                    **kw, **extra)
+    m_l, o_l = large.process_banded(raws, prev, 0.0, driver="loop",
+                                    **kw, **extra)
+    for a, b in zip(jax.tree_util.tree_leaves(o_f),
+                    jax.tree_util.tree_leaves(o_l)):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_l),
+                               rtol=0, atol=1e-6)
+
+
+def test_flat_driver_misuse_raises():
+  """Forced flat must raise when the whole-frame kernels can't run:
+  f16 working dtype (Mosaic has no f16 I/O), non-kernel raw widths
+  (wb % 384), or a resize plan."""
+  from taichi_image_tpu import types
+  prev = np.zeros(9, np.float32)
+  with pytest.raises(ValueError, match="flat driver"):
+    large.process_banded(_raws(2, h=64, w=256), prev, 0.0, n_bands=2,
+                         work_dtype=types.f16,
+                         pattern=BayerPattern.RGGB, driver="flat")
+  with pytest.raises(ValueError, match="flat driver"):
+    large.process_banded(_raws(2, h=64, w=96), prev, 0.0, n_bands=2,
+                         work_dtype=types.bf16,
+                         pattern=BayerPattern.RGGB, driver="flat")
+  with pytest.raises(ValueError, match="flat driver"):
+    large.process_banded(_raws(2, h=64, w=256), prev, 0.0, n_bands=2,
+                         work_dtype=types.bf16,
+                         pattern=BayerPattern.RGGB, driver="flat",
+                         resize_plan=((128, 32), None))
+
+
 def test_scan_driver_misuse_raises():
   from taichi_image_tpu import types
   raws = _raws(2, h=64, w=96)

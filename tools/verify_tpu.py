@@ -370,6 +370,27 @@ def main():
     record("banded_scan_vs_loop_onchip", False,
            f"{type(e).__name__}: {str(e)[:90]}")
   try:
+    # 8e'. FLAT whole-frame-kernel driver (round 4) vs the loop driver:
+    #      BITWISE — the flat front is the unbanded kernel math, and the
+    #      loop's bands ride the same Pallas route at this shape. Needs
+    #      wb % 384 == 0 (decode kernel) and stride=2 so the stencil's
+    #      sample-emission tiling exists at wh=256 (production 8K runs
+    #      stride=8 at wh=3840).
+    raws_fl = jax.device_put(rng.integers(0, 256, size=(2, 128, 768),
+                                          dtype=np.uint8))
+    kwfl = dict(kwb, stride=2)
+    mfl1, ofl1 = large_mod.process_banded(raws_fl, prevz, 0.0,
+                                          driver="flat", **kwfl)
+    mfl2, ofl2 = large_mod.process_banded(raws_fl, prevz, 0.0,
+                                          driver="loop", **kwfl)
+    ok_flat = np.array_equal(np.asarray(ofl1), np.asarray(ofl2))
+    dmfl = float(np.abs(np.asarray(mfl1) - np.asarray(mfl2)).max())
+    record("banded_flat_vs_loop_onchip", ok_flat and dmfl < 1e-6,
+           f"u8 bitwise={ok_flat} metrics max|diff|={dmfl:.2e}")
+  except Exception as e:
+    record("banded_flat_vs_loop_onchip", False,
+           f"{type(e).__name__}: {str(e)[:90]}")
+  try:
     # f16 working dtype takes the plain-stencil + XLA-finish band path
     # (Mosaic cannot emit f16 — a fused f16 finish fails to compile);
     # both drivers must run and agree
