@@ -507,7 +507,7 @@ def _flat_front_step(raws, prev, t, ids_format, pattern, cc, stride,
   phases = pl_decode.decode12_phases_bf16(raws, ids_format)
   sq = max(stride // 2, 1)
   x12, samp = demosaic_phases(phases, pattern, cc=cc,
-                              out_dtype=types.bf16, backend="bayer_pl",
+                              out_dtype=types.bf16, backend="pallas",
                               sample_step=sq)
   # The barrier makes the bf16 rounding of the kernel's f32 samples
   # REAL: with metering fused into the same program, XLA's
@@ -667,8 +667,9 @@ def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
   if driver == "flat" and not flat_ok:
     raise ValueError(
         "flat driver needs whole-frame Pallas kernels: packed12 input, "
-        "bf16 working dtype, color_adapt == 0, no resize_plan, and "
-        "kernel-tileable shapes — use driver='auto' to fall back")
+        "bf16 working dtype, color_adapt == 0 for reinhard tonemap, no "
+        "resize_plan, and kernel-tileable shapes — use driver='auto' to "
+        "fall back")
   if flat_ok and driver in ("auto", "flat"):
     take = driver == "flat"
     if not take:

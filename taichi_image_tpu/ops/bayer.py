@@ -405,6 +405,9 @@ def demosaic_phases(phases, pattern: BayerPattern, cc=None, method="mhc",
   ~13 ms at 6x4K (minor-dim gather on TPU), the in-kernel emission is
   free. Values are bitwise-identical either way.
   """
+  if backend not in ("auto", "pallas", "xla"):
+    raise ValueError(f"unknown demosaic backend {backend!r} "
+                     "(expected 'auto', 'pallas', or 'xla')")
   n, _, hh, wh = phases.shape
   weights = _demosaic_tables(pattern, method)
 

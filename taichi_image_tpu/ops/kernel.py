@@ -34,7 +34,8 @@ def kernel_square(weights, n=5):
   offsets = [(i, j) for i in range(-(n // 2), n // 2 + 1)
              for j in range(-(n // 2), n // 2 + 1)]
   assert len(offsets) == len(weights), (
-      f"incorrect weight length {len(offsets)} != {len(weights)}")
+      f"need {len(offsets)} weights for a {n}x{n} square, "
+      f"got {len(weights)}")
   return tuple(zip(offsets, weights))
 
 

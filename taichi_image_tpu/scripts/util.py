@@ -56,7 +56,8 @@ def find_scan_images(scan_folder: Path) -> Tuple[List[Path], List[str]]:
   cam_ids = natsorted(cam_folders.keys())
   if len(common_images) == 0:
     raise ValueError(f"No common images found in {cam_ids}")
-  print(f"Found {cam_ids} image folders with {len(common_images)} images")
+  print(f"Scanning {len(cam_ids)} camera folders {cam_ids}: "
+        f"{len(common_images)} common frames")
   return [scan_folder / i for i in cam_ids], sorted(common_images)
 
 

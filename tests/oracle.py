@@ -189,9 +189,13 @@ def tonemap_linear_oracle(src, gamma=1.0, dtype=np.uint8):
 
 
 def tonemap_reinhard_oracle(src, gamma=1.0, intensity=1.0, light_adapt=1.0,
-                            color_adapt=0.0, dtype=np.uint8):
+                            color_adapt=0.0, dtype=np.uint8,
+                            negate_log_max=True):
   """Reference tonemap.py:134-168 including the negated log-max quirk
-  (tonemap.py:102)."""
+  (tonemap.py:102). ``negate_log_max=False`` computes the un-quirked
+  formula — which is OpenCV's TonemapReinhard (the algorithm the
+  reference derives from); test_independent.py pins that equivalence
+  against cv2's own C++ implementation."""
   x = src.astype(np.float32)
   lo, hi = x.min(), x.max()
   temp = (x - lo) / (hi - lo)  # linear_func gamma=1 scale=1 (clamped [0,1])
@@ -205,7 +209,7 @@ def tonemap_reinhard_oracle(src, gamma=1.0, intensity=1.0, light_adapt=1.0,
   rgb_mean = temp.reshape(-1, 3).mean(0)
 
   # Quirk: Bounds(log_min, -log_max)
-  b_min, b_max = log_min, -log_max
+  b_min, b_max = log_min, (-log_max if negate_log_max else log_max)
   key = (b_max - log_mean) / (b_max - b_min)
   map_key = 0.3 + 0.7 * np.power(key, 1.4)
 

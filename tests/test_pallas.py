@@ -67,6 +67,16 @@ def test_backend_param_equivalence(rng):
   np.testing.assert_array_equal(a, b)
 
 
+def test_unknown_backend_raises(rng):
+  # an unrecognized backend string must raise, not silently route to
+  # the XLA path (a "bayer_pl" typo shipped the flat 8K driver on the
+  # wrong route in round 4 — ADVICE.md high #1)
+  phases = jnp.asarray(rng.random((1, 4, 16, 128), np.float32))
+  with pytest.raises(ValueError, match="backend"):
+    bayer.demosaic_phases(phases, bayer.BayerPattern.RGGB,
+                          backend="bayer_pl")
+
+
 @pytest.mark.parametrize("step", [4, 2])
 def test_stencil_sample_emission(step, rng):
   """The kernel's MXU-dot sample output equals a strided slice of the
