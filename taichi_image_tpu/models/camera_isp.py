@@ -1527,10 +1527,13 @@ def yuv420_from_phases_u8(out12, mxu: bool = False):
   return y_u8, uv_u8
 
 
-def _q16_kernels_available(raw_shape, stride):
-  """True when all three Camera16 fast-path kernels can run on this
-  packed12 raw shape: the q12 decode, the q16 stencil (with sample
-  emission), and the q16 Reinhard map (ops/pallas/q16 module note).
+def _q16_front_available(raw_shape, sample_step):
+  """True when the q16 decode + demosaic kernels can run on this
+  packed12 raw shape (the FRONT of the Camera16 fast path). The q16
+  Reinhard map is not required, so configurations outside the full
+  fast-path gate — resize plans, linear tonemap, color_adapt > 0,
+  gamma > 1.5 — can still ride the kernel front, with the XLA tail
+  consuming lazily-dequantized x12 (round-4 VERDICT next #4).
 
   TAICHI_IMAGE_TPU_STRICT_F16=1 closes the gate surgically (strict XLA
   f16 boundary semantics without disabling the other Pallas kernels;
@@ -1541,11 +1544,20 @@ def _q16_kernels_available(raw_shape, stride):
     return False
   from taichi_image_tpu.ops.pallas import decode as pl_decode
   from taichi_image_tpu.ops.pallas import demosaic as pl_dm
-  from taichi_image_tpu.ops.pallas import reinhard as pl_rh
   _, h, wb = raw_shape
   hh, wh = h // 2, wb // 3
   return (pl_decode.decode_pallas_available(h, wb)
-          and pl_dm.q16_available(hh, wh, max(stride // 2, 1))
+          and pl_dm.q16_available(hh, wh, sample_step))
+
+
+def _q16_kernels_available(raw_shape, stride):
+  """True when all three Camera16 fast-path kernels can run on this
+  packed12 raw shape: the q12 decode, the q16 stencil (with sample
+  emission), and the q16 Reinhard map (ops/pallas/q16 module note)."""
+  from taichi_image_tpu.ops.pallas import reinhard as pl_rh
+  _, h, wb = raw_shape
+  hh, wh = h // 2, wb // 3
+  return (_q16_front_available(raw_shape, max(stride // 2, 1))
           and pl_rh.reinhard_q16_available(hh, wh))
 
 
@@ -1586,7 +1598,26 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
                and isinstance(gamma, float) and 0.0 < gamma <= 1.5
                and not debug_checks
                and _q16_kernels_available(raws.shape, stride))
-  phases = (None if q16_route
+  # q16 FRONT route (round-4 VERDICT next #4): Camera16 configurations
+  # the full fast path cannot serve — resize plans (the reference ISP's
+  # built-in policy, camera_isp.py:302-315), linear tonemap,
+  # color_adapt > 0, gamma > 1.5 — still ride the Pallas q12-decode +
+  # q16-stencil front. The XLA tail consumes the packed x12 through a
+  # lazily-fused dequantize: unpack+scale are elementwise jnp ops that
+  # fuse into the consuming resize/tonemap program, so no f16 x12 is
+  # ever materialized (the i32 array carries the same 2 B/value the
+  # strict path's f16 x12 does). Boundary precision is the full fast
+  # path's (phases BIT-exact 12-bit codes, x12 <= 2^-17 absolute); the
+  # p-code gamma gate does not apply because the tail computes and
+  # casts p exactly as the strict route does.
+  q16_front = (not q16_route
+               and types.canonical_dtype(work_dtype) == types.f16
+               and fmt == "packed12" and not debug_checks
+               and _q16_front_available(
+                   raws.shape,
+                   max(stride // 2, 1)
+                   if (resize_plan is None and stride % 2 == 0) else 0))
+  phases = (None if (q16_route or q16_front)
             else load_raw_phases(raws, fmt, work_dtype, ids_format))
   if debug_checks:
     # Compiled-in validation (TAICHI_IMAGE_TPU_DEBUG; the reference's
@@ -1626,6 +1657,18 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
     packed = pl_decode.decode12_phases_q16(raws, ids_format)
     x12, strided_sample = bayer_ops.demosaic_phases_q16(
         packed, pattern, cc=cc, sample_step=max(stride // 2, 1))
+  elif q16_front:
+    from taichi_image_tpu.ops.pallas import decode as pl_decode
+    from taichi_image_tpu.ops.pallas import q16 as q16_codes
+    packed = pl_decode.decode12_phases_q16(raws, ids_format)
+    if want_sample:
+      x12q, strided_sample = bayer_ops.demosaic_phases_q16(
+          packed, pattern, cc=cc, sample_step=max(stride // 2, 1))
+    else:
+      x12q = bayer_ops.demosaic_phases_q16(packed, pattern, cc=cc)
+    # lazy dequantize: fuses into the consuming tail program (see the
+    # q16_front gate comment above)
+    x12 = q16_codes.decode_x12(q16_codes.unpack_channels(x12q))
   elif front_fused:
     pass  # demosaic runs fused with the map below
   elif want_sample:

@@ -211,3 +211,64 @@ def test_q16_route_gate_closed_off_tpu():
   dtype takes the strict XLA path (this pins the gating so CPU runs
   never trip on the TPU-only kernels)."""
   assert not ci._q16_kernels_available((2, H, W * 3 // 2), 8)
+  assert not ci._q16_front_available((2, H, W * 3 // 2), 4)
+
+
+# ------------------------------------------------------- q16 FRONT route
+
+def _patch_front(monkeypatch):
+  """Open the q16 FRONT gate on CPU and route its kernels through
+  interpret mode — exercises the real fused_isp_step wiring. The XLA
+  demosaic is patched to raise, proving the front actually engaged."""
+  import functools
+  monkeypatch.setattr(ci, "_q16_front_available", lambda shape, s: True)
+  monkeypatch.setattr(pld, "decode12_phases_q16",
+                      functools.partial(pld.decode12_phases_q16,
+                                        interpret=True))
+  monkeypatch.setattr(bayer, "demosaic_phases_q16",
+                      functools.partial(bayer.demosaic_phases_q16,
+                                        interpret=True))
+
+  def _boom(*a, **k):
+    raise AssertionError("XLA demosaic called — q16 front not taken")
+
+  monkeypatch.setattr(ci, "demosaic_phases", _boom)
+
+
+def _f16_step(raws, prev, t, **kw):
+  args = dict(gamma=1.0, intensity=1.0, light_adapt=1.0, color_adapt=0.0,
+              fmt="packed12", ids_format=False, work_dtype=types.f16,
+              pattern=bayer.BayerPattern.RGGB, cc=None, resize_plan=None,
+              stride=8, transform=ImageTransform.none, tonemap="reinhard")
+  args.update(kw)
+  return ci.fused_isp_step(jnp.asarray(raws), prev, t, **args)
+
+
+# each config is OUTSIDE the full fast-path gate: the resize policy
+# (reference camera_isp.py:302-315), linear tonemap, gamma above the
+# p-code bound, nonzero color_adapt (round-4 VERDICT next #4)
+@pytest.mark.parametrize("kw", [
+    {"resize_plan": ((512, 32), None)},
+    {"resize_plan": ((512, 32), None), "tonemap": "linear", "gamma": 0.9},
+    {"tonemap": "linear", "gamma": 0.9},
+    {"gamma": 2.0},
+    {"color_adapt": 0.3},
+    {"gamma": 2.0, "stride": 5},  # odd stride: planar-assembly branch
+], ids=["resize", "resize-linear", "linear", "gamma2", "coloradapt",
+        "oddstride"])
+def test_q16_front_within_one_count(kw, monkeypatch):
+  """fused_isp_step's q16 FRONT route (Pallas decode+demosaic, lazily
+  dequantized XLA tail) stays within <=1 u8 count of the strict XLA
+  f16 path on every configuration family the full q16 route rejects."""
+  raws = _raws(2)
+  prev = jnp.zeros(9, jnp.float32)
+  m_ref, out_ref = _f16_step(raws, prev, 0.0, **kw)
+
+  _patch_front(monkeypatch)
+  m_q, out_q = _f16_step(raws, prev, 0.0, **kw)
+  np.testing.assert_allclose(np.asarray(m_q), np.asarray(m_ref),
+                             atol=5e-3)
+  for a, b in zip(jax.tree_util.tree_leaves(out_q),
+                  jax.tree_util.tree_leaves(out_ref)):
+    diff = np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int))
+    assert diff.max() <= 1, f"u8 diff {diff.max()} for {kw}"
