@@ -1601,18 +1601,24 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
   # q16 FRONT route (round-4 VERDICT next #4): Camera16 configurations
   # the full fast path cannot serve — resize plans (the reference ISP's
   # built-in policy, camera_isp.py:302-315), linear tonemap,
-  # color_adapt > 0, gamma > 1.5 — still ride the Pallas q12-decode +
+  # color_adapt > 0, odd stride — still ride the Pallas q12-decode +
   # q16-stencil front. The XLA tail consumes the packed x12 through a
   # lazily-fused dequantize: unpack+scale are elementwise jnp ops that
   # fuse into the consuming resize/tonemap program, so no f16 x12 is
   # ever materialized (the i32 array carries the same 2 B/value the
   # strict path's f16 x12 does). Boundary precision is the full fast
-  # path's (phases BIT-exact 12-bit codes, x12 <= 2^-17 absolute); the
-  # p-code gamma gate does not apply because the tail computes and
-  # casts p exactly as the strict route does.
+  # path's (phases BIT-exact 12-bit codes, x12 <= 2^-17 absolute).
+  # gamma <= 1.5 for the same reason as the full fast path: the root
+  # exponent 1/gamma < 2/3 has unbounded slope at black, where the q16
+  # x12 grid is 2^-17 ABSOLUTE while strict f16 is near-relative —
+  # measured on chip at gamma=2 as 5 u8 counts on 2.7e-5 of pixels
+  # (chip-only: the f16 excess-precision pass hides it on CPU), so
+  # gamma > 1.5 is rejected-by-data and stays on the strict route
+  # (tools/verify_tpu.py q16_front_gate_gamma2_strict_onchip).
   q16_front = (not q16_route
                and types.canonical_dtype(work_dtype) == types.f16
                and fmt == "packed12" and not debug_checks
+               and isinstance(gamma, float) and 0.0 < gamma <= 1.5
                and _q16_front_available(
                    raws.shape,
                    max(stride // 2, 1)

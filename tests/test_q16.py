@@ -245,16 +245,17 @@ def _f16_step(raws, prev, t, **kw):
 
 
 # each config is OUTSIDE the full fast-path gate: the resize policy
-# (reference camera_isp.py:302-315), linear tonemap, gamma above the
-# p-code bound, nonzero color_adapt (round-4 VERDICT next #4)
+# (reference camera_isp.py:302-315), linear tonemap, nonzero
+# color_adapt, odd stride (round-4 VERDICT next #4). gamma > 1.5 is
+# deliberately ABSENT: it is gated to the strict route
+# (test_q16_front_gamma_gate_strict below).
 @pytest.mark.parametrize("kw", [
     {"resize_plan": ((512, 32), None)},
     {"resize_plan": ((512, 32), None), "tonemap": "linear", "gamma": 0.9},
     {"tonemap": "linear", "gamma": 0.9},
-    {"gamma": 2.0},
     {"color_adapt": 0.3},
-    {"gamma": 2.0, "stride": 5},  # odd stride: planar-assembly branch
-], ids=["resize", "resize-linear", "linear", "gamma2", "coloradapt",
+    {"stride": 5},  # odd stride: planar-assembly branch
+], ids=["resize", "resize-linear", "linear", "coloradapt",
         "oddstride"])
 def test_q16_front_within_one_count(kw, monkeypatch):
   """fused_isp_step's q16 FRONT route (Pallas decode+demosaic, lazily
@@ -272,3 +273,17 @@ def test_q16_front_within_one_count(kw, monkeypatch):
                   jax.tree_util.tree_leaves(out_ref)):
     diff = np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int))
     assert diff.max() <= 1, f"u8 diff {diff.max()} for {kw}"
+
+
+def test_q16_front_gamma_gate_strict(monkeypatch):
+  """gamma > 1.5 must NOT take the q16 front: the root exponent's
+  unbounded slope at black amplifies the x12 grid's 2^-17 absolute
+  quantization to 5 u8 counts on chip (measured, rejected-by-data —
+  see the q16_front gate comment in fused_isp_step). With the front
+  gate forced open, the strict XLA demosaic must still be the one
+  called."""
+  raws = _raws(1)
+  prev = jnp.zeros(9, jnp.float32)
+  _patch_front(monkeypatch)
+  with pytest.raises(AssertionError, match="XLA demosaic called"):
+    _f16_step(raws, prev, 0.0, gamma=2.0)

@@ -114,6 +114,13 @@ def main():
                                 n_bands=8, work_dtype=wd,
                                 pattern=BayerPattern.RGGB, driver="scan")
 
+  def flat_shipped(r):
+    """The PRODUCTION path (ADVICE r4 medium #2): process_banded with
+    the flat driver exactly as auto-selection dispatches it."""
+    return large.process_banded(r, np.zeros(9, np.float32), 0.0,
+                                n_bands=8, work_dtype=wd,
+                                pattern=BayerPattern.RGGB, driver="flat")
+
   def timed_driver(name, drv):
     try:
       m, out = drv(raws)
@@ -154,7 +161,7 @@ def main():
           flush=True)
     return r
 
-  want = set(sys.argv[1:]) or {"stages", "flatN", "flat1", "scan"}
+  want = set(sys.argv[1:]) or {"stages", "flatN", "flat1", "flat", "scan"}
   if "stages" in want:
     ph = timed_stage("decode kernel", p_decode, raws)
     if ph is not None:
@@ -167,6 +174,8 @@ def main():
     timed_driver("flatN (4 programs)", flatN)
   if "flat1" in want:
     timed_driver("flat1 (one front jit)", flat1)
+  if "flat" in want:
+    timed_driver("flat driver (shipped)", flat_shipped)
   if "scan" in want:
     timed_driver("scan driver (shipped)", scan)
 

@@ -499,14 +499,15 @@ def main():
            f"{float((d_q > 1).mean()):.1e} metrics max|diff|={dm_q:.1e}")
 
   # 8g. q16 FRONT route (round 5, VERDICT next #4): configurations the
-  #     full fast path rejects — resize plans, linear tonemap,
-  #     gamma > 1.5 — ride the Pallas decode+stencil front with a
-  #     lazily-dequantized XLA tail. Contract: <=1 u8 count vs the
-  #     strict XLA f16 route on identical inputs, on chip.
+  #     full fast path rejects — resize plans, linear tonemap — ride
+  #     the Pallas decode+stencil front with a lazily-dequantized XLA
+  #     tail. Contract: <=1 u8 count vs the strict XLA f16 route on
+  #     identical inputs, on chip. gamma > 1.5 is rejected-by-data
+  #     (measured here at 5 counts before the gate landed): the gate
+  #     check below asserts it routes to strict.
   front_cfgs = (
       ("resize", dict(resize_plan=((256, 64), None))),
       ("linear", dict(tonemap="linear", gamma=0.9)),
-      ("gamma2", dict(gamma=2.0)),
   )
   for tag_f, over_f in front_cfgs:
     kw_f = dict(gamma=1.0, intensity=1.0, light_adapt=1.0,
@@ -533,6 +534,30 @@ def main():
            int(d_f.max()) <= 1 and dm_f < 5e-4,
            f"u8 max|diff|={int(d_f.max())} frac>1="
            f"{float((d_f > 1).mean()):.1e} metrics max|diff|={dm_f:.1e}")
+
+  # 8h. gamma > 1.5 must route to the STRICT path (the q16 front's x12
+  #     grid is 2^-17 absolute at black where 1/gamma roots have
+  #     unbounded slope — measured 5 u8 counts at gamma=2 on chip, so
+  #     the gate rejects it). With the gate live vs the front forced
+  #     closed, outputs must be BITWISE identical (same strict route).
+  kw_g2 = dict(gamma=2.0, intensity=1.0, light_adapt=1.0,
+               color_adapt=0.0, fmt="packed12", ids_format=False,
+               work_dtype=types.f16, pattern=BayerPattern.RGGB, cc=None,
+               resize_plan=None, stride=8, transform=ImageTransform.none,
+               tonemap="reinhard")
+  m_g1, o_g1 = jax.jit(lambda r: fused_isp_step(
+      r, jnp.zeros(9, jnp.float32), jnp.float32(0.2), **kw_g2))(raws_q)
+  _orig_f = _ci._q16_front_available
+  _ci._q16_front_available = lambda *a: False
+  try:
+    m_g0, o_g0 = jax.jit(lambda r: fused_isp_step(
+        r, jnp.zeros(9, jnp.float32), jnp.float32(0.2), **kw_g2))(raws_q)
+  finally:
+    _ci._q16_front_available = _orig_f
+  record("q16_front_gate_gamma2_strict_onchip",
+         np.array_equal(np.asarray(o_g1), np.asarray(o_g0))
+         and np.array_equal(np.asarray(m_g1), np.asarray(m_g0)),
+         "gamma=2 routed strict (bitwise equal with gate open vs closed)")
 
   # 9. CLI end-to-end ON the chip (tonemap_scan → JPEG grid) — the
   #    committed on-TPU CLI verification artifact (round-2 VERDICT weak
