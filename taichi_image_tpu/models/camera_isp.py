@@ -1131,14 +1131,19 @@ def reinhard_map_max_ca(x, metrics, intensity, light_adapt,
   (tolerance contract: <=1 u8 count, tools/probe_tail2.py)."""
   wd = types.canonical_dtype(work_dtype)
   flat = x.reshape(x.shape[0], -1, x.shape[-2], x.shape[-1])
+  # color_adapt must be a STATIC float for the kernel (it selects the
+  # per-channel adapt mode at trace time); 0.0 is the reference default,
+  # > 0 runs the kernel's per-channel chain (round 5 — previously the
+  # ca > 0 family fell back to the XLA path).
   if (wd == types.bf16 and x.dtype == jnp.bfloat16
-      and isinstance(color_adapt, float) and color_adapt == 0.0):
+      and isinstance(color_adapt, float)):
     from taichi_image_tpu.ops.pallas.reinhard import (
         reinhard_bf16_available, reinhard_map_bf16_dma)
     if reinhard_bf16_available(flat.shape[1], flat.shape[2],
                                flat.shape[3]):
       p_cast, max_out = reinhard_map_bf16_dma(flat, metrics, intensity,
-                                              light_adapt)
+                                              light_adapt,
+                                              color_adapt=color_adapt)
       if axis_name is not None:
         max_out = jax.lax.pmax(max_out, axis_name)
       return p_cast, max_out.reshape(x.shape[0], 1, 1, 1)
@@ -1591,31 +1596,35 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
   # u8 within <=1 count of the strict path (tests/test_q16.py,
   # tools/verify_tpu.py on chip). Gated to the reference-default
   # configuration; everything else falls back to the strict XLA path.
+  # color_adapt: any STATIC float qualifies since round 5 — the q16 map
+  # kernel implements the per-channel adapt chain (ca > 0) directly
+  # (ops/pallas/reinhard._q16_kernel_dma ca_mode); previously ca > 0
+  # fell back to the strict XLA route at ~358 f/s.
   q16_route = (types.canonical_dtype(work_dtype) == types.f16
                and fmt == "packed12" and tonemap == "reinhard"
                and resize_plan is None and stride % 2 == 0
-               and isinstance(color_adapt, float) and color_adapt == 0.0
+               and isinstance(color_adapt, float)
                and isinstance(gamma, float) and 0.0 < gamma <= 1.5
                and not debug_checks
                and _q16_kernels_available(raws.shape, stride))
-  # q16 FRONT route (round-4 VERDICT next #4): Camera16 configurations
-  # the full fast path cannot serve — resize plans (the reference ISP's
-  # built-in policy, camera_isp.py:302-315), linear tonemap,
-  # color_adapt > 0, odd stride — still ride the Pallas q12-decode +
-  # q16-stencil front. The XLA tail consumes the packed x12 through a
-  # lazily-fused dequantize: unpack+scale are elementwise jnp ops that
-  # fuse into the consuming resize/tonemap program, so no f16 x12 is
-  # ever materialized (the i32 array carries the same 2 B/value the
-  # strict path's f16 x12 does). Boundary precision is the full fast
-  # path's (phases BIT-exact 12-bit codes, x12 <= 2^-17 absolute).
-  # gamma <= 1.5 for the same reason as the full fast path: the root
-  # exponent 1/gamma < 2/3 has unbounded slope at black, where the q16
-  # x12 grid is 2^-17 ABSOLUTE while strict f16 is near-relative —
-  # measured on chip at gamma=2 as 5 u8 counts on 2.7e-5 of pixels
-  # (chip-only: the f16 excess-precision pass hides it on CPU), so
-  # gamma > 1.5 is rejected-by-data and stays on the strict route
-  # (tools/verify_tpu.py q16_front_gate_gamma2_strict_onchip).
-  q16_front = (not q16_route
+  # q16 FRONT route (round-4 VERDICT next #4) — REJECTED-BY-DATA as a
+  # default, opt-in via TAICHI_IMAGE_TPU_Q16_FRONT=1: the Pallas
+  # q12-decode + q16-stencil front with an XLA tail consuming lazily-
+  # dequantized x12 is value-correct (<=1 u8 count vs strict on chip,
+  # VERIFY_TPU q16_front_* checks) but LOSES to the strict XLA route on
+  # every config family it covers (tools/probe_q16_front.py, two clean
+  # on-chip sessions, 6x4K f16: resize->1920 x0.75-0.78, linear g=.9
+  # x0.95-0.96, color_adapt=.5 x0.88-0.91) — the dequantized f32 x12
+  # cannot stay fused into the tail's gathers, so the tail moves 2x the
+  # strict path's f16 bytes, eating more than the kernel front saves.
+  # color_adapt > 0 is instead served by the FULL q16 path (the map
+  # kernel's ca_mode, round 5). gamma <= 1.5 for the same reason as the
+  # full fast path: the 1/gamma root's unbounded slope at black
+  # amplifies the 2^-17 absolute x12 grid (measured 5 u8 counts at
+  # gamma=2 on chip, q16_front_gate_gamma2_strict_onchip).
+  import os as _os
+  q16_front = (_os.environ.get("TAICHI_IMAGE_TPU_Q16_FRONT", "") == "1"
+               and not q16_route
                and types.canonical_dtype(work_dtype) == types.f16
                and fmt == "packed12" and not debug_checks
                and isinstance(gamma, float) and 0.0 < gamma <= 1.5
@@ -1747,7 +1756,8 @@ def fused_isp_step(raws, prev, t, gamma, intensity, light_adapt, color_adapt,
         from taichi_image_tpu.ops.pallas.reinhard import (
             reinhard_map_q16_dma)
         cast, max_out = reinhard_map_q16_dma(x12, new_metrics, intensity,
-                                             light_adapt)
+                                             light_adapt,
+                                             color_adapt=color_adapt)
         if axis_name is not None:
           max_out = jax.lax.pmax(max_out, axis_name)
       else:

@@ -122,13 +122,17 @@ def _decode_kernel(tr, wh, ni, nt, scale, ids, q12, hbm_ref, sel_ref,
 
 
 def decode12_phases_bf16(raws_u8, ids_format: bool = False,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         row_tile: int | None = None):
   """(N, H, W*3/2) u8 packed12 -> (N, 4, H/2, W/2) bf16 phase planes,
-  bit-identical to load_raw_phases(..., 'packed12', bf16)."""
+  bit-identical to load_raw_phases(..., 'packed12', bf16).
+
+  ``row_tile`` overrides the tiling heuristic (tools/probe_decode6.py
+  races tile sizes; values are bitwise-equal across tiles)."""
   n, h, wb = raws_u8.shape
   wh = wb // 3
-  tr = decode_tiling(h, wb)
-  assert tr is not None, (h, wb)
+  tr = row_tile if row_tile is not None else decode_tiling(h, wb)
+  assert tr is not None and h % tr == 0, (h, wb, tr)
   ni = h // tr
   nt = n * ni
 

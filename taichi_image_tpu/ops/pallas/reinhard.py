@@ -61,6 +61,21 @@ def reinhard_scal(metrics, intensity, light_adapt):
                     jnp.float32(light_adapt)])
 
 
+def reinhard_scal_ca(metrics, intensity, light_adapt, color_adapt):
+  """The (10,) SMEM vector for the color_adapt > 0 kernel mode:
+  reinhard_scal's six plus [color_adapt, cmeanR, cmeanG, cmeanB] where
+  cmean_c = lerp(color_adapt, mean, channel_mean_c) — the per-channel
+  half of the reference's adapt chain that depends only on metering
+  (models/camera_isp.reinhard_map_ca ca>0 branch; reference
+  tonemap.py's color/light lerp tree). Precomputed in XLA so the lerp
+  arithmetic matches the XLA path exactly."""
+  m = metrics
+  base = reinhard_scal(metrics, intensity, light_adapt)
+  ca = jnp.float32(color_adapt)
+  cmean = m[5] + ca * (m[6:9] - m[5])
+  return jnp.concatenate([base, ca[None], cmean])
+
+
 def _kernel(x_ref, s_ref, p_ref, mx_ref):
   """x_ref (1, 12, tr, tw) f32; s_ref SMEM (6,):
   [m0, range, map_key, mean(m5), exp(-intensity), light_adapt]."""
@@ -154,7 +169,7 @@ def bf16_tiling(hh: int, wh: int, nc: int = 12):
   return None
 
 
-def _bf16_kernel_dma(tr, tw, ni, nj, nt, ng, hbm_ref, s_ref,
+def _bf16_kernel_dma(tr, tw, ni, nj, nt, ng, ca_mode, hbm_ref, s_ref,
                      p_ref, mx_ref, scratch, sems):
   """Manual double-buffered DMA Reinhard map on bf16 I/O: reads (1, 12,
   tr, tw) bf16 tiles of x12, converts to f32 in-VMEM, writes the bf16
@@ -198,13 +213,24 @@ def _bf16_kernel_dma(tr, tw, ni, nj, nt, ng, hbm_ref, s_ref,
     g = (cur[3 * k + 1].astype(jnp.float32) - m0) / rng
     b = (cur[3 * k + 2].astype(jnp.float32) - m0) / rng
     gray = 0.299 * r + 0.587 * g + 0.114 * b
-    adapt_mean = mean + la * (gray - mean)
-    # exp2(k*log2(b)) instead of pow: ~9% faster on the VPU (4.66 ->
-    # 4.25 ms standalone at 6x4K) with identical edge semantics
-    # (b<0 -> NaN -> zeroed; b=0 -> 0) and <=1 bf16 ulp of pow — inside
-    # the documented <=1 u8 count contract vs the XLA path.
-    adapt = jnp.exp2(mk * jnp.log2(eni * adapt_mean))
+    if not ca_mode:
+      adapt_mean = mean + la * (gray - mean)
+      # exp2(k*log2(b)) instead of pow: ~9% faster on the VPU (4.66 ->
+      # 4.25 ms standalone at 6x4K) with identical edge semantics
+      # (b<0 -> NaN -> zeroed; b=0 -> 0) and <=1 bf16 ulp of pow — inside
+      # the documented <=1 u8 count contract vs the XLA path.
+      adapt = jnp.exp2(mk * jnp.log2(eni * adapt_mean))
+    else:
+      ca = s_ref[6]
     for c, scaled in ((0, r), (1, g), (2, b)):
+      if ca_mode:
+        # per-channel adapt (reference ca > 0 branch,
+        # models/camera_isp.reinhard_map_ca): lerp(ca, gray, scaled)
+        # then lerp(la, cmean_c, .) with cmean_c precomputed in SMEM —
+        # 3 transcendental chains per pixel instead of 1.
+        adapt_color = gray + ca * (scaled - gray)
+        adapt_mean = s_ref[7 + c] + la * (adapt_color - s_ref[7 + c])
+        adapt = jnp.exp2(mk * jnp.log2(eni * adapt_mean))
       p = scaled * (1.0 / (adapt + scaled))
       p = jnp.where(jnp.isnan(p), 0.0, p)
       tmax = jnp.max(p)
@@ -214,27 +240,26 @@ def _bf16_kernel_dma(tr, tw, ni, nj, nt, ng, hbm_ref, s_ref,
 
 
 def reinhard_map_bf16_dma(x_bf16, metrics, intensity, light_adapt,
+                          color_adapt: float = 0.0,
                           interpret: bool = False):
   """(N, C, hh, wh) bf16 (C % 3 == 0: phase-RGB x12 or planar RGB) ->
-  (p bf16 same shape, per-image f32 max (N, 1, 1, 1)). color_adapt == 0
-  specialization only (reference default, camera_isp.py:177-218); the
-  max is taken over the f32 p BEFORE the bf16 cast (reference
-  max-before-cast semantics)."""
+  (p bf16 same shape, per-image f32 max (N, 1, 1, 1)). The max is taken
+  over the f32 p BEFORE the bf16 cast (reference max-before-cast
+  semantics, camera_isp.py:177-218). ``color_adapt`` must be a static
+  Python float; 0.0 (the reference default) runs the one-adapt-per-
+  pixel specialization, > 0 the per-channel chain (round 5)."""
   n, nc, hh, wh = x_bf16.shape
   assert nc % 3 == 0, nc
   ng = nc // 3
+  ca_mode = float(color_adapt) != 0.0
   tiles = bf16_tiling(hh, wh, nc)
   assert tiles is not None, (hh, wh)
   tr, tw = tiles
   ni, nj = hh // tr, wh // tw
   nt = n * ni * nj
 
-  m = metrics
-  key = (m[3] - m[4]) / (m[3] - m[2])
-  map_key = 0.3 + 0.7 * jnp.power(key, 1.4)
-  scal = jnp.stack([m[0], m[1] - m[0], map_key, m[5],
-                    jnp.exp(-jnp.float32(intensity)),
-                    jnp.float32(light_adapt)])
+  scal = (reinhard_scal_ca(metrics, intensity, light_adapt, color_adapt)
+          if ca_mode else reinhard_scal(metrics, intensity, light_adapt))
 
   def out_map(t):
     a = t // (ni * nj)
@@ -247,7 +272,8 @@ def reinhard_map_bf16_dma(x_bf16, metrics, intensity, light_adapt,
     return (a, r // nj, r % nj)
 
   p, mx = pl.pallas_call(
-      functools.partial(_bf16_kernel_dma, tr, tw, ni, nj, nt, ng),
+      functools.partial(_bf16_kernel_dma, tr, tw, ni, nj, nt, ng,
+                        ca_mode),
       out_shape=[
           jax.ShapeDtypeStruct((n, nc, hh, wh), jnp.bfloat16),
           jax.ShapeDtypeStruct((n, ni * 8, nj * 128), jnp.float32),
@@ -482,7 +508,7 @@ def reinhard_pallas_available(hh: int, wh: int) -> bool:
   return backend_enabled() and reinhard_tiling(hh, wh) is not None
 
 
-def _q16_kernel_dma(tr, tw, ni, nj, nt, hbm_ref, s_ref,
+def _q16_kernel_dma(tr, tw, ni, nj, nt, ca_mode, hbm_ref, s_ref,
                     p_ref, mx_ref, scratch, sems):
   """Camera16 fast-path Reinhard map on q16-packed I/O (ops/pallas/q16):
   reads (1, 6, tr, tw) i32 tiles of channel-pair-packed x12 codes,
@@ -530,11 +556,20 @@ def _q16_kernel_dma(tr, tw, ni, nj, nt, hbm_ref, s_ref,
     g = (chan(3 * k + 1) - m0) / rng
     b = (chan(3 * k + 2) - m0) / rng
     gray = 0.299 * r + 0.587 * g + 0.114 * b
-    adapt_mean = mean + la * (gray - mean)
-    # exp2(k*log2(b)) pow lowering — same trade as _bf16_kernel_dma
-    adapt = jnp.exp2(mk * jnp.log2(eni * adapt_mean))
+    if not ca_mode:
+      adapt_mean = mean + la * (gray - mean)
+      # exp2(k*log2(b)) pow lowering — same trade as _bf16_kernel_dma
+      adapt = jnp.exp2(mk * jnp.log2(eni * adapt_mean))
+    else:
+      ca = s_ref[6]
     codes = []
     for c, scaled in ((0, r), (1, g), (2, b)):
+      if ca_mode:
+        # per-channel adapt (reference ca > 0 branch) — see
+        # _bf16_kernel_dma's ca_mode comment
+        adapt_color = gray + ca * (scaled - gray)
+        adapt_mean = s_ref[7 + c] + la * (adapt_color - s_ref[7 + c])
+        adapt = jnp.exp2(mk * jnp.log2(eni * adapt_mean))
       denom = adapt + scaled
       p = scaled * (1.0 / denom)
       p = jnp.where(jnp.isnan(p), 0.0, p)
@@ -557,20 +592,25 @@ def _q16_kernel_dma(tr, tw, ni, nj, nt, hbm_ref, s_ref,
 
 
 def reinhard_map_q16_dma(w_i32, metrics, intensity, light_adapt,
+                         color_adapt: float = 0.0,
                          interpret: bool = False):
   """(N, 6, hh, wh) i32 q16-packed x12 -> (p q16-packed i32 same shape,
-  per-image f32 max (N, 1, 1, 1)). color_adapt == 0 specialization only
-  (reference default); the max is over the exact f32 p BEFORE the q16
-  encode (reference max-before-cast semantics)."""
+  per-image f32 max (N, 1, 1, 1)). The max is over the exact f32 p
+  BEFORE the q16 encode (reference max-before-cast semantics).
+  ``color_adapt`` must be a static Python float; 0.0 (the reference
+  default) runs the one-adapt-per-pixel specialization, > 0 the
+  per-channel chain (round 5)."""
   n, nc, hh, wh = w_i32.shape
   assert nc == 6, nc
+  ca_mode = float(color_adapt) != 0.0
   tiles = _q16_map_tiling(hh, wh)
   assert tiles is not None, (hh, wh)
   tr, tw = tiles
   ni, nj = hh // tr, wh // tw
   nt = n * ni * nj
 
-  scal = reinhard_scal(metrics, intensity, light_adapt)
+  scal = (reinhard_scal_ca(metrics, intensity, light_adapt, color_adapt)
+          if ca_mode else reinhard_scal(metrics, intensity, light_adapt))
 
   def out_map(t):
     a = t // (ni * nj)
@@ -583,7 +623,7 @@ def reinhard_map_q16_dma(w_i32, metrics, intensity, light_adapt,
     return (a, r // nj, r % nj)
 
   p, mx = pl.pallas_call(
-      functools.partial(_q16_kernel_dma, tr, tw, ni, nj, nt),
+      functools.partial(_q16_kernel_dma, tr, tw, ni, nj, nt, ca_mode),
       out_shape=[
           jax.ShapeDtypeStruct((n, 6, hh, wh), jnp.int32),
           jax.ShapeDtypeStruct((n, ni * 8, nj * 128), jnp.float32),

@@ -277,6 +277,55 @@ def test_front_fused_not_used_on_cpu():
   assert not pallas_dm.front_fused_available(1080, 1920, in_bf16=True)
 
 
+@pytest.mark.parametrize("ca", [0.3, 1.0])
+def test_bf16_map_color_adapt_vs_xla(ca, rng):
+  """The bf16 DMA map kernel's ca_mode (round 5: per-channel adapt via
+  SMEM cmean scalars + 3 transcendental chains/pixel) vs the XLA
+  reinhard_map_ca ca > 0 branch: <=1 bf16 ulp on p (the exp2/log2 pow
+  contract) and matching per-image max."""
+  from taichi_image_tpu.models.camera_isp import reinhard_map_ca
+  from taichi_image_tpu.ops.pallas.reinhard import reinhard_map_bf16_dma
+  hh, wh = 64, 256
+  phases = jnp.asarray(rng.random((2, 4, hh, wh), np.float32),
+                       jnp.bfloat16)
+  weights = bayer._demosaic_tables(bayer.BayerPattern.RGGB, "mhc")
+  fin = bayer._stencil_finish_spec(weights, hh, wh, None, jnp.bfloat16)
+  metrics = _front_metrics(phases)
+  x12 = pallas_dm.demosaic_stencil(
+      phases, weights, *pallas_dm.tiling_for(hh, wh, in_bf16=True,
+                                             out_bf16=True),
+      finish=fin, interpret=True)
+  p_k, mx_k = reinhard_map_bf16_dma(x12, metrics, 1.3, 0.8,
+                                    color_adapt=ca, interpret=True)
+  p_x = reinhard_map_ca(x12.reshape(2, 4, 3, hh, wh), metrics, 1.3, 0.8,
+                        ca).reshape(2, 12, hh, wh)
+  d = np.abs(np.asarray(p_k, np.float32) - np.asarray(p_x, np.float32))
+  assert d.max() <= 2e-3, d.max()
+  np.testing.assert_allclose(
+      np.asarray(mx_k).ravel(),
+      np.asarray(p_x).reshape(2, -1).max(axis=1), atol=2e-3)
+
+
+def test_bf16_map_ca_zero_unchanged(rng):
+  """color_adapt=0.0 must take the original one-adapt-per-pixel code
+  path BITWISE (the ca_mode extension may not perturb the existing
+  contract)."""
+  from taichi_image_tpu.ops.pallas.reinhard import reinhard_map_bf16_dma
+  hh, wh = 64, 256
+  x12 = jnp.asarray(rng.random((1, 12, hh, wh), np.float32),
+                    jnp.bfloat16)
+  phases = jnp.asarray(rng.random((1, 4, hh, wh), np.float32),
+                       jnp.bfloat16)
+  metrics = _front_metrics(phases)
+  p_a, mx_a = reinhard_map_bf16_dma(x12, metrics, 1.0, 1.0,
+                                    interpret=True)
+  p_b, mx_b = reinhard_map_bf16_dma(x12, metrics, 1.0, 1.0,
+                                    color_adapt=0.0, interpret=True)
+  np.testing.assert_array_equal(np.asarray(p_a, np.float32),
+                                np.asarray(p_b, np.float32))
+  np.testing.assert_array_equal(np.asarray(mx_a), np.asarray(mx_b))
+
+
 def test_fused_step_front_fused_route_integrated(monkeypatch, rng):
   """Full fused_isp_step with the front-fused gate forced open
   (interpret mode) vs the gates-closed XLA step: metrics to 1e-5 (the

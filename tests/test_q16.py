@@ -156,9 +156,47 @@ def test_map_q16_matches_xla(rng):
                              np.asarray(mx_ref).ravel(), rtol=1e-5)
 
 
+@pytest.mark.parametrize("ca", [0.4, 1.0])
+def test_map_q16_color_adapt_matches_xla(ca, rng):
+  """The q16 map kernel's ca_mode (round 5) vs the XLA ca > 0 branch —
+  same rational-code bound as the ca == 0 test; the per-image max stays
+  on the exact f32 p."""
+  codes = rng.integers(0, 65536, size=(2, 12, 16, 128))
+  x = jnp.asarray(codes / 65535.0, jnp.float32)
+  p_ref = ci.reinhard_map_ca(x.reshape(2, 4, 3, 16, 128), M, 1.3, 0.8,
+                             ca)
+  mx_ref = jnp.max(p_ref, axis=(1, 2, 3, 4))
+  w = q16.pack_pair(jnp.asarray(codes[:, 0::2], jnp.int32),
+                    jnp.asarray(codes[:, 1::2], jnp.int32))
+  pw, mx = jax.jit(lambda w: plrh.reinhard_map_q16_dma(
+      w, M, 1.3, 0.8, color_adapt=ca, interpret=True))(w)
+  got = np.asarray(q16.decode_p(q16.unpack_channels(pw)))
+  want = np.asarray(p_ref).reshape(2, 12, 16, 128)
+  want = np.where(want > 0.0, want, 0.0)
+  bound = (1.0 + want) ** 2 * (0.6 / 65535.0)
+  assert (np.abs(got - want) <= bound).all()
+  np.testing.assert_allclose(np.asarray(mx).ravel(),
+                             np.asarray(mx_ref).ravel(), rtol=1e-5)
+
+
+def test_map_q16_ca_zero_unchanged(rng):
+  """color_adapt=0.0 must take the original one-adapt-per-pixel code
+  path BITWISE (the ca_mode extension may not perturb the existing
+  contract)."""
+  codes = rng.integers(0, 65536, size=(1, 12, 16, 128))
+  w = q16.pack_pair(jnp.asarray(codes[:, 0::2], jnp.int32),
+                    jnp.asarray(codes[:, 1::2], jnp.int32))
+  pa, ma = plrh.reinhard_map_q16_dma(w, M, 1.0, 1.0, interpret=True)
+  pb, mb = plrh.reinhard_map_q16_dma(w, M, 1.0, 1.0, color_adapt=0.0,
+                                     interpret=True)
+  np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+  np.testing.assert_array_equal(np.asarray(ma), np.asarray(mb))
+
+
 # ---------------------------------------------------------- end to end
 
-def _q16_step(raws, prev, t, gamma, intensity, light_adapt, cc, stride):
+def _q16_step(raws, prev, t, gamma, intensity, light_adapt, cc, stride,
+              color_adapt=0.0):
   """The Camera16 fast route, composed exactly as fused_isp_step wires
   it (interpret-mode kernels for CPU)."""
   packed_w = pld.decode12_phases_q16(jnp.asarray(raws), interpret=True)
@@ -167,7 +205,9 @@ def _q16_step(raws, prev, t, gamma, intensity, light_adapt, cc, stride):
       sample_step=max(stride // 2, 1), interpret=True)
   metrics = ci.metering_update_ca(samp, prev, t)
   cast, mx = plrh.reinhard_map_q16_dma(x12q, metrics, intensity,
-                                       light_adapt, interpret=True)
+                                       light_adapt,
+                                       color_adapt=color_adapt,
+                                       interpret=True)
   out12 = ci.reinhard_gamma_ca(cast, mx, gamma)
   return metrics, ci.planar_from_phases_transformed(
       out12, ImageTransform.none)
@@ -206,6 +246,30 @@ def test_q16_full_step_within_one_count(gamma, intensity):
   assert diff2.max() <= 1, f"u8 diff {diff2.max()}"
 
 
+def test_q16_full_step_color_adapt_within_one_count():
+  """End-to-end with color_adapt > 0 (round 5: the map kernel's
+  ca_mode makes this config part of the FULL q16 fast path — it was
+  the strict XLA route before): u8 within <=1 count of strict."""
+  raws = _raws(2)
+  prev = jnp.zeros(9, jnp.float32)
+  ca = 0.3
+
+  def strict(raws, prev, t):
+    return ci.fused_isp_step(
+        jnp.asarray(raws), prev, t, 0.9, 3.0, 1.0, ca,
+        "packed12", False, types.f16, bayer.BayerPattern.RGGB, None,
+        None, 8, ImageTransform.none, "reinhard")
+
+  m_ref, out_ref = strict(raws, prev, 0.0)
+  m_q16, out_q16 = _q16_step(raws, prev, 0.0, 0.9, 3.0, 1.0, None, 8,
+                             color_adapt=ca)
+  np.testing.assert_allclose(np.asarray(m_q16), np.asarray(m_ref),
+                             atol=5e-3)
+  diff = np.abs(np.asarray(out_q16).astype(int)
+                - np.asarray(out_ref).astype(int))
+  assert diff.max() <= 1, f"u8 diff {diff.max()}"
+
+
 def test_q16_route_gate_closed_off_tpu():
   """On CPU the gate is closed: fused_isp_step with the f16 working
   dtype takes the strict XLA path (this pins the gating so CPU runs
@@ -219,8 +283,12 @@ def test_q16_route_gate_closed_off_tpu():
 def _patch_front(monkeypatch):
   """Open the q16 FRONT gate on CPU and route its kernels through
   interpret mode — exercises the real fused_isp_step wiring. The XLA
-  demosaic is patched to raise, proving the front actually engaged."""
+  demosaic is patched to raise, proving the front actually engaged.
+  The route is REJECTED-BY-DATA as a default (loses to strict on every
+  config family on chip, tools/probe_q16_front.py), so the opt-in env
+  var must be set too."""
   import functools
+  monkeypatch.setenv("TAICHI_IMAGE_TPU_Q16_FRONT", "1")
   monkeypatch.setattr(ci, "_q16_front_available", lambda shape, s: True)
   monkeypatch.setattr(pld, "decode12_phases_q16",
                       functools.partial(pld.decode12_phases_q16,
@@ -273,6 +341,28 @@ def test_q16_front_within_one_count(kw, monkeypatch):
                   jax.tree_util.tree_leaves(out_ref)):
     diff = np.abs(np.asarray(a).astype(int) - np.asarray(b).astype(int))
     assert diff.max() <= 1, f"u8 diff {diff.max()} for {kw}"
+
+
+def test_q16_front_default_off(monkeypatch):
+  """The q16 FRONT route is rejected-by-data (slower than strict on
+  every config family it covers — two clean on-chip sessions,
+  tools/probe_q16_front.py) and must stay OFF without the
+  TAICHI_IMAGE_TPU_Q16_FRONT=1 opt-in, even when its kernels are
+  available."""
+  monkeypatch.delenv("TAICHI_IMAGE_TPU_Q16_FRONT", raising=False)
+  monkeypatch.setattr(ci, "_q16_front_available", lambda shape, s: True)
+  called = {}
+  orig = ci.demosaic_phases
+
+  def spy(*a, **k):
+    called["xla"] = True
+    return orig(*a, **k)
+
+  monkeypatch.setattr(ci, "demosaic_phases", spy)
+  raws = _raws(1)
+  prev = jnp.zeros(9, jnp.float32)
+  _f16_step(raws, prev, 0.0, tonemap="linear", gamma=0.9)
+  assert called.get("xla"), "strict XLA demosaic must run by default"
 
 
 def test_q16_front_gamma_gate_strict(monkeypatch):

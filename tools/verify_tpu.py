@@ -499,16 +499,21 @@ def main():
            f"{float((d_q > 1).mean()):.1e} metrics max|diff|={dm_q:.1e}")
 
   # 8g. q16 FRONT route (round 5, VERDICT next #4): configurations the
-  #     full fast path rejects — resize plans, linear tonemap — ride
-  #     the Pallas decode+stencil front with a lazily-dequantized XLA
-  #     tail. Contract: <=1 u8 count vs the strict XLA f16 route on
-  #     identical inputs, on chip. gamma > 1.5 is rejected-by-data
-  #     (measured here at 5 counts before the gate landed): the gate
-  #     check below asserts it routes to strict.
+  #     full fast path rejects — resize plans, linear tonemap — can
+  #     ride the Pallas decode+stencil front with a lazily-dequantized
+  #     XLA tail. The route is REJECTED-BY-DATA as a default (slower
+  #     than strict on every family, tools/probe_q16_front.py) and now
+  #     opt-in via TAICHI_IMAGE_TPU_Q16_FRONT=1; these checks keep the
+  #     opt-in path's value contract pinned: <=1 u8 count vs the strict
+  #     XLA f16 route on identical inputs, on chip. gamma > 1.5 is
+  #     rejected-by-data for VALUES too (measured at 5 counts before
+  #     the gate landed): the gate check below asserts it routes to
+  #     strict even with the env opt-in set.
   front_cfgs = (
       ("resize", dict(resize_plan=((256, 64), None))),
       ("linear", dict(tonemap="linear", gamma=0.9)),
   )
+  os.environ["TAICHI_IMAGE_TPU_Q16_FRONT"] = "1"
   for tag_f, over_f in front_cfgs:
     kw_f = dict(gamma=1.0, intensity=1.0, light_adapt=1.0,
                 color_adapt=0.0, fmt="packed12", ids_format=False,
@@ -558,6 +563,52 @@ def main():
          np.array_equal(np.asarray(o_g1), np.asarray(o_g0))
          and np.array_equal(np.asarray(m_g1), np.asarray(m_g0)),
          "gamma=2 routed strict (bitwise equal with gate open vs closed)")
+  del os.environ["TAICHI_IMAGE_TPU_Q16_FRONT"]
+
+  # 8i. color_adapt > 0 kernel mode (round 5): the bf16 and q16 map
+  #     kernels implement the reference's per-channel adapt chain
+  #     directly (ops/pallas/reinhard ca_mode) — Camera16 with
+  #     color_adapt > 0 is now the FULL q16 fast path, and the bf16
+  #     flagship keeps its Pallas map. Both vs their XLA routes on
+  #     identical inputs.
+  kw_ca = dict(gamma=0.9, intensity=3.0, light_adapt=0.8,
+               color_adapt=0.5, fmt="packed12", ids_format=False,
+               work_dtype=types.f16, pattern=BayerPattern.RGGB, cc=None,
+               resize_plan=None, stride=8, transform=ImageTransform.none,
+               tonemap="reinhard")
+  m_cq, o_cq = jax.jit(lambda r: fused_isp_step(
+      r, jnp.zeros(9, jnp.float32), jnp.float32(0.2), **kw_ca))(raws_q)
+  _orig_q = _ci._q16_kernels_available
+  _ci._q16_kernels_available = lambda *a: False
+  try:
+    m_cs, o_cs = jax.jit(lambda r: fused_isp_step(
+        r, jnp.zeros(9, jnp.float32), jnp.float32(0.2), **kw_ca))(raws_q)
+  finally:
+    _ci._q16_kernels_available = _orig_q
+  d_ca = np.abs(np.asarray(o_cq).astype(int) - np.asarray(o_cs).astype(int))
+  dm_ca = float(np.abs(np.asarray(m_cq) - np.asarray(m_cs)).max())
+  record("q16_step_color_adapt_vs_strict_onchip",
+         int(d_ca.max()) <= 1 and dm_ca < 5e-4,
+         f"u8 max|diff|={int(d_ca.max())} frac>1="
+         f"{float((d_ca > 1).mean()):.1e} metrics max|diff|={dm_ca:.1e}")
+
+  kw_cb = dict(kw_ca, work_dtype=types.bf16)
+  m_cb, o_cb = jax.jit(lambda r: fused_isp_step(
+      r, jnp.zeros(9, jnp.float32), jnp.float32(0.2), **kw_cb))(raws_q)
+  import taichi_image_tpu.ops.pallas.reinhard as _pl_rh_mod
+  _orig_av = _pl_rh_mod.reinhard_bf16_available
+  _pl_rh_mod.reinhard_bf16_available = lambda *a: False
+  try:
+    m_cx, o_cx = jax.jit(lambda r: fused_isp_step(
+        r, jnp.zeros(9, jnp.float32), jnp.float32(0.2), **kw_cb))(raws_q)
+  finally:
+    _pl_rh_mod.reinhard_bf16_available = _orig_av
+  d_cb = np.abs(np.asarray(o_cb).astype(int) - np.asarray(o_cx).astype(int))
+  dm_cb = float(np.abs(np.asarray(m_cb) - np.asarray(m_cx)).max())
+  record("bf16_map_color_adapt_vs_xla_onchip",
+         int(d_cb.max()) <= 1 and dm_cb < 5e-4,
+         f"u8 max|diff|={int(d_cb.max())} frac>1="
+         f"{float((d_cb > 1).mean()):.1e} metrics max|diff|={dm_cb:.1e}")
 
   # 9. CLI end-to-end ON the chip (tonemap_scan → JPEG grid) — the
   #    committed on-TPU CLI verification artifact (round-2 VERDICT weak
