@@ -154,19 +154,27 @@ def main():
 
     return run
 
-  k_lo, k_hi = 2, 10
+  # The spread must be WIDE: at ~400 GB/s this 119 MB array moves in
+  # ~0.6 ms/iter, so an 8-iter delta (~5 ms) drowns in the tunnel's
+  # multi-ms fetch jitter and can come out NEGATIVE (observed in a
+  # round-5 session). 40 iters of delta with best-of-5 keeps the
+  # signal above the noise (same fix as tools/probe_roofline4k.py).
+  # Estimator: min(t_hi) - min(t_lo), NOT min of per-rep deltas — mins
+  # are stable estimators of each chain's noise floor, while a per-rep
+  # delta goes negative whenever its t_lo draw lands on a jitter spike
+  # (observed -162 GB/s in a round-5 session).
+  k_lo, k_hi = 5, 45
   f_lo, f_hi = _copy_chain(k_lo), _copy_chain(k_hi)
   _ = np.asarray(f_lo(xs)), np.asarray(f_hi(xs))
-  per_iter = None
-  for _ in range(3):
+  t_los, t_his = [], []
+  for _ in range(5):
     t0 = time.perf_counter()
     _ = np.asarray(f_lo(xs))
-    t_lo = time.perf_counter() - t0
+    t_los.append(time.perf_counter() - t0)
     t0 = time.perf_counter()
     _ = np.asarray(f_hi(xs))
-    t_hi = time.perf_counter() - t0
-    d = (t_hi - t_lo) / (k_hi - k_lo)
-    per_iter = d if per_iter is None else min(per_iter, d)
+    t_his.append(time.perf_counter() - t0)
+  per_iter = (min(t_his) - min(t_los)) / (k_hi - k_lo)
   copy_gbps = 2 * xs.nbytes / per_iter / 1e9
 
   print(json.dumps({
