@@ -46,11 +46,52 @@ def opencv_demosaic(cfa_u8: np.ndarray, pattern) -> np.ndarray:
   return cv2.cvtColor(cfa_u8, code)
 
 
+def display_or_write(name: str, rgb01: np.ndarray, show: bool,
+                     outdir: Path | None) -> None:
+  """Show a demosaiced result in a window (the reference's interactive
+  harness, test/bayer.py:34-41) or write it as a PNG when headless.
+
+  ``--show`` tries ``cv2.imshow``; on a display-less host (cv2 built
+  without GUI, or no X server) it falls back to writing into ``outdir``
+  (default ``./compare_bayer_out``) and says so.
+  """
+  u8 = np.clip(rgb01 * 255.0, 0, 255).astype(np.uint8)
+  if show:
+    # cv2.imshow on a display-less host ABORTS the process (Qt fatal,
+    # not a catchable exception) — gate on an actual display being set.
+    import os
+    if os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY"):
+      try:
+        import cv2
+        cv2.imshow(name, cv2.cvtColor(u8, cv2.COLOR_RGB2BGR))
+        cv2.waitKey(0)
+        return
+      except Exception as e:
+        print(f"--show unavailable here ({type(e).__name__}); "
+              "writing PNG instead")
+    else:
+      print("--show unavailable here (no display); writing PNG instead")
+    outdir = outdir or Path("compare_bayer_out")
+  if outdir is None:
+    return
+  outdir.mkdir(parents=True, exist_ok=True)
+  from PIL import Image
+  path = outdir / f"{name}.png"
+  Image.fromarray(u8).save(str(path))
+  print(f"wrote {path}")
+
+
 def main(argv=None):
   parser = argparse.ArgumentParser(description=__doc__)
   parser.add_argument("image", type=Path)
   parser.add_argument("--crop", type=int, default=0,
                       help="ignore an n-pixel border in the PSNR")
+  parser.add_argument("--show", action="store_true",
+                      help="display each demosaiced result in a window "
+                      "(falls back to --write on headless hosts)")
+  parser.add_argument("--write", type=Path, default=None, metavar="DIR",
+                      help="write each demosaiced result as DIR/"
+                      "{pattern}_{method}.png")
   args = parser.parse_args(argv)
 
   img = load_rgb(args.image)
@@ -64,6 +105,9 @@ def main(argv=None):
     scores = []
     for method in ("mhc", "bilinear"):
       rgb = np.asarray(bayer.bayer_to_rgb(cfa, pattern, method=method))
+      if args.show or args.write is not None:
+        display_or_write(f"{pattern.name}_{method}", rgb, args.show,
+                         args.write)
       ref, got = (img, rgb) if c == 0 else (img[c:-c, c:-c],
                                             rgb[c:-c, c:-c])
       scores.append(psnr(got, ref, peak=1.0))
