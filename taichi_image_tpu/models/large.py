@@ -25,16 +25,16 @@ pixels (the staged metering reduction is a separately-compiled program
 whose f32 summation associates differently — metrics agree to the last
 ulp; tests/test_large.py pins this contract).
 
-Three drivers: the FLAT whole-frame-kernel front (round 4,
-``_flat_front_step`` — the Pallas kernels tile arbitrary extents, the
-compile limit above is an XLA-op-extent limit, so decode/stencil/map
-run as full-frame kernel programs feeding the same chunked finish;
-1.9x the scan driver at 6x8K, 67 vs 129 ms/set,
-tools/probe_8k_flat.py), a ``lax.scan`` single-program band form
-(``_banded_scan_step``), and a Python band LOOP (any shape, composes
-with the resize policy). ``driver="auto"`` prefers flat > scan > loop
-and guarantees BITWISE-equal outputs across them (see
-``process_banded``).
+Three drivers: the FLAT whole-frame-kernel form (round 4; round 5 made
+it ONE program, ``_flat_full_step`` — the Pallas kernels tile arbitrary
+extents, the compile limit above is an XLA-op-extent limit, so
+decode/stencil/map run as full-frame kernel programs and the chunked
+gamma+interleave finish rides the same jit; ~2x the scan driver at
+6x8K — 64 vs 135 ms/set same-session, tools/probe_8k_onejit.py), a
+``lax.scan`` single-program band form (``_banded_scan_step``), and a
+Python band LOOP (any shape, composes with the resize policy).
+``driver="auto"`` prefers flat > scan > loop and guarantees
+BITWISE-equal outputs across them (see ``process_banded``).
 """
 
 from __future__ import annotations
@@ -488,19 +488,35 @@ def _flat_available(h, wb, fmt, wd, color_adapt, stride, tonemap):
 
 @partial(jax.jit, static_argnames=("ids_format", "pattern", "cc",
                                    "stride", "intensity", "light_adapt",
-                                   "tonemap"))
-def _flat_front_step(raws, prev, t, ids_format, pattern, cc, stride,
-                     intensity, light_adapt, tonemap):
-  """The flat front: whole-frame Pallas decode -> fused-finish demosaic
-  stencil (with in-kernel metering-sample emission) -> EMA metering ->
-  whole-frame bf16 Reinhard map, as ONE jit program (the XLA glue
-  between kernels is extent-trivial, so the 8K compile limit never
-  engages). Same return contract as ``_banded_scan_step``:
-  (metrics, merged p or x12 (N, 12, hh, wh), max_out). Values are
-  BITWISE-equal to the unbanded ``fused_isp_step`` kernel route — this
-  IS the unbanded math (per-element kernel arithmetic is
-  tile-independent), so the loop/scan drivers match it bitwise whenever
-  their bands take the Pallas route (the auto selector checks)."""
+                                   "tonemap", "gamma", "band_fmt",
+                                   "finish_kernel"))
+def _flat_full_step(raws, prev, t, ids_format, pattern, cc, stride,
+                    intensity, light_adapt, tonemap, gamma, band_fmt,
+                    finish_kernel=False):
+  """The flat driver as ONE jit program (round 5): whole-frame Pallas
+  decode -> fused-finish demosaic stencil (with in-kernel metering-
+  sample emission) -> EMA metering -> whole-frame bf16 Reinhard map ->
+  the gamma + quantize + stack-interleave finish on <=
+  ``_FINISH_CHUNK_ROWS`` row-slice chunks IN THE SAME PROGRAM.
+
+  The per-OP 8K extent limit (no full-8K interleave op compiles) does
+  not forbid one PROGRAM containing two 4K-class chunk interleaves, and
+  the in-program chunks consume the map kernel's output instead of a
+  full-res parameter — the round-4 structure paid the documented
+  ~40-90 GB/s parameter-fed walls twice (chunk programs + concat).
+  Measured at 6x8K same-session (tools/probe_8k_onejit.py): shipped
+  round-4 structure 81.8 ms/set, this form 64.3, BITWISE-equal (the
+  6-d-transpose chunk form measured 128.7 — the stack interleave
+  remains the right form for chunk-extent consumers; the
+  dynamic_update_slice variant tied at 65.1).
+
+  Returns ``(metrics, planar u8 (N, 3, H, W))`` — or ``(metrics,
+  (y, uv))`` when ``band_fmt == 'yuv420'`` (the no-transform I420 fast
+  path, converted per chunk in phase form). Values are BITWISE-equal
+  to the unbanded ``fused_isp_step`` kernel route — this IS the
+  unbanded math (per-element kernel arithmetic is tile-independent),
+  so the loop/scan drivers match it bitwise whenever their bands take
+  the Pallas route (the auto selector checks)."""
   from taichi_image_tpu.ops.bayer import demosaic_phases
   from taichi_image_tpu.ops.pallas import decode as pl_decode
   from taichi_image_tpu.ops.pallas.reinhard import reinhard_map_bf16_dma
@@ -520,16 +536,65 @@ def _flat_front_step(raws, prev, t, ids_format, pattern, cc, stride,
   n_total = samp.shape[0] * samp.shape[2] * samp.shape[3]
   metrics = metering_update_ca(samp, prev, t, n_total=n_total)
   if tonemap == "linear":
-    return metrics, x12, jnp.zeros((x12.shape[0], 1, 1, 1), jnp.float32)
-  p, max_out = reinhard_map_bf16_dma(x12, metrics, intensity,
-                                     light_adapt)
-  return metrics, p, max_out
+    merged = x12
+    max_out = jnp.zeros((x12.shape[0], 1, 1, 1), jnp.float32)
+  else:
+    merged, max_out = reinhard_map_bf16_dma(x12, metrics, intensity,
+                                            light_adapt)
+
+  # in-program finish (see docstring). The opt-in Pallas finish kernel
+  # (ops/pallas/finish, TAICHI_IMAGE_TPU_FINISH_KERNEL=1) replaces the
+  # chunk loop when enabled — bitwise-equal, kept for A/B measurement
+  # (rejected as the default: its packed-i32 contract pays a ~24 ms
+  # i32->u8 relayout, tools/probe_finish_iso.py). finish_kernel is a
+  # STATIC arg resolved by the caller: an env-var read in the traced
+  # body would be frozen into the jit cache and ignore later toggles.
+  n, _, hh, wh = merged.shape
+  if band_fmt == "rgb" and finish_kernel:
+    from taichi_image_tpu.ops.pallas import finish as pl_fin
+    scal = metrics if tonemap == "linear" else max_out
+    return metrics, pl_fin.finish_planar_u8(merged, scal, tonemap,
+                                            gamma)
+  chunks = band_plan_rows(hh, -(-hh // _FINISH_CHUNK_ROWS), 1)
+  outs = []
+  for (r0, r1) in chunks:
+    chunk = merged[:, :, r0:r1]
+    if tonemap == "linear":
+      out12 = linear_apply_ca(chunk.reshape(n, 4, 3, r1 - r0, wh),
+                              metrics, gamma).reshape(n, 12, r1 - r0,
+                                                      wh)
+    else:
+      out12 = reinhard_gamma_ca(chunk, max_out,
+                                gamma).reshape(n, 12, r1 - r0, wh)
+    if band_fmt == "yuv420":
+      outs.append(yuv420_from_phases_u8(out12, mxu=True))
+    else:
+      outs.append(phases_to_planar_stack(out12))
+  if band_fmt == "yuv420":
+    y = jnp.concatenate([o[0] for o in outs], axis=1)
+    uv = jnp.concatenate([o[1] for o in outs], axis=2)
+    return metrics, (y, uv)
+  return metrics, (jnp.concatenate(outs, axis=2) if len(outs) > 1
+                   else outs[0])
 
 
 # Largest phase-row extent of one finish-chunk program: the gamma+
 # interleave fusion is proven at 4K (hh=1080) and an 8K-sized program
 # (hh=2160) fails the remote compiler outright, so chunks stay 4K-class.
 _FINISH_CHUNK_ROWS = 1088
+
+
+@partial(jax.jit, static_argnames=("tonemap", "gamma"))
+def _jit_finish_kernel(merged, scal, tonemap, gamma):
+  """ONE-program finish for the scan/flat drivers' merged working-dtype
+  output: the Pallas finish kernel (ops/pallas/finish — gamma + u8
+  quantize + phase->planar interleave at manual-DMA rates) replaces the
+  <=``_FINISH_CHUNK_ROWS`` XLA chunk programs whose stack-interleave
+  moved ~70 GB/s (docs/PERFORMANCE.md round-5 "8K finish kernel").
+  Bit-identical to the chunked XLA finish (tests/test_pallas_finish.py;
+  on-chip tools/probe_finish8k.py / verify_tpu finish_kernel checks)."""
+  from taichi_image_tpu.ops.pallas import finish as pl_fin
+  return pl_fin.finish_planar_u8(merged, scal, tonemap, gamma)
 
 
 @partial(jax.jit, static_argnames=("tonemap", "gamma", "band_fmt",
@@ -591,9 +656,10 @@ def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
   reorder the band layout itself).
 
   ``driver``: "auto" picks the fastest available form — the FLAT
-  whole-frame-kernel front (decode/stencil/map as full-frame Pallas
-  programs, 1.9x the scan driver at 6x8K: 67 vs 129 ms/set,
-  tools/probe_8k_flat.py) when the kernels tile the shape (packed12,
+  whole-frame-kernel ONE-program step (decode/stencil/map as full-frame
+  Pallas kernels + the in-program chunked finish, ~2x the scan driver
+  at 6x8K: 64 vs 135 ms/set same-session, tools/probe_8k_onejit.py)
+  when the kernels tile the shape (packed12,
   bf16, color_adapt == 0, no resize), else the lax.scan single-program
   band driver (equal stride-and-kernel-aligned bands, no resize, same
   demosaic route for both band drivers), else the Python band loop.
@@ -645,6 +711,16 @@ def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
     working-dtype front output, then the assembled-output transform /
     color conversion."""
     hh = h // 2
+    if band_fmt == "rgb" and merged.dtype == jnp.bfloat16:
+      from taichi_image_tpu.ops.pallas import finish as pl_fin
+      if pl_fin.finish_available(hh, merged.shape[-1]):
+        scal = metrics if tonemap == "linear" else max_out
+        out = _jit_finish_kernel(merged, scal, tonemap, float(gamma))
+        if transform != ImageTransform.none:
+          out = _jit_transform_assembled(out, transform)
+        if color_format == "yuv420":
+          return metrics, _jit_yuv_assembled(out)
+        return metrics, out
     chunks = band_plan_rows(hh, -(-hh // _FINISH_CHUNK_ROWS), 1)
     outs = [_banded_scan_finish_chunk(merged, metrics, max_out, tonemap,
                                       float(gamma), band_fmt,
@@ -682,10 +758,22 @@ def process_banded(raws, prev, t, *, n_bands, fmt="packed12",
                  for r0, r1 in loop_plan)
     if take:
       prev = jnp.array(np.asarray(prev), jnp.float32)
-      metrics, merged, max_out = _flat_front_step(
+      from taichi_image_tpu.ops.pallas import finish as pl_fin
+      wh_f = decoded_width(fmt, raws.shape[-1]) // 2
+      fin_k = (band_fmt == "rgb"
+               and pl_fin.finish_available(h // 2, wh_f))
+      metrics, res = _flat_full_step(
           raws, prev, jnp.float32(t), ids_format, pattern, cc, stride,
-          float(intensity), float(light_adapt), tonemap)
-      return _assemble(metrics, merged, max_out)
+          float(intensity), float(light_adapt), tonemap, float(gamma),
+          band_fmt, finish_kernel=fin_k)
+      if band_fmt == "yuv420":
+        return metrics, res
+      out = res
+      if transform != ImageTransform.none:
+        out = _jit_transform_assembled(out, transform)
+      if color_format == "yuv420":
+        return metrics, _jit_yuv_assembled(out)
+      return metrics, out
 
   if driver != "loop" and resize_plan is None:
     b_scan = scan_band_size(h // 2, n_bands,

@@ -116,12 +116,12 @@ def probe(tag, H, W):
     def f(r):
       acc = jnp.float32(0)
       for i in range(K):
-        m, p, mx = large._flat_front_step(
+        m, out = large._flat_full_step(
             r ^ jnp.uint8(i), jnp.zeros(9, jnp.float32),
             jnp.float32(0.0), False, BayerPattern.RGGB, None, 8,
-            1.0, 1.0, "reinhard")
-        acc = (acc + p[0, 0, 0, 0].astype(jnp.float32) + jnp.sum(m)
-               + jnp.sum(mx))
+            1.0, 1.0, "reinhard", 1.0, "rgb")
+        acc = (acc + out[0, 0, 0, 0].astype(jnp.float32)
+               + jnp.sum(m))
       return acc
     return f, (raws,)
 

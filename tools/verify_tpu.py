@@ -407,6 +407,53 @@ def main():
     record("banded_f16_drivers_onchip", False,
            f"{type(e).__name__}: {str(e)[:90]}")
 
+  # 8e''. Pallas finish kernel (round 5): gamma + u8 quantize +
+  #       phase->planar interleave + additive i32 byte pack vs the
+  #       chunked XLA finish — the additive pack (sign-bit wrap) and
+  #       the one-hot interleave dots are exactly the op families with
+  #       known chip-only mis-lowering hazards (q16 halfword pack).
+  #       BITWISE expected at gamma=1 (pure exact f32 ops + movement);
+  #       gamma != 1 exercises the in-kernel exp2/log2 lowering.
+  try:
+    from taichi_image_tpu.models import large as lg
+    from taichi_image_tpu.ops.pallas import finish as pl_fin
+    # Independent rng: consuming the shared `rng` here would shift every
+    # downstream check's draw (the q16 metrics deltas are input-
+    # dependent; the 5e-4 tolerances are calibrated on the long-lived
+    # shared sequence).
+    rng_f = np.random.default_rng(177)
+    hhf, whf = 64, 256
+    pfin = jnp.asarray(rng_f.random((2, 12, hhf, whf), np.float32) * 1.1,
+                       jnp.bfloat16)
+    mxf = jnp.asarray(rng_f.random((2, 1, 1, 1)).astype(np.float32) * 0.4
+                      + 0.7)
+    met9 = jnp.asarray([0.02, 0.98, -5.0, 0.0, -2.0, 0.3, 0.3, 0.3,
+                        0.3], jnp.float32)
+    details = []
+    ok_fin = pl_fin.finish_tiling(hhf, whf) is not None
+    for gam in (1.0, 0.9):
+      a = np.asarray(jax.jit(
+          lambda p, g=gam: pl_fin.finish_planar_u8(p, mxf, "reinhard",
+                                                   g))(pfin))
+      b = np.asarray(lg._banded_scan_finish_chunk(
+          pfin, met9, mxf, "reinhard", gam, "rgb", True, 0, hhf))
+      eq = np.array_equal(a, b)
+      md = int(np.abs(a.astype(int) - b.astype(int)).max())
+      details.append(f"reinhard g={gam}: bitwise={eq} max|d|={md}")
+      ok_fin = ok_fin and eq
+    al = np.asarray(jax.jit(
+        lambda p: pl_fin.finish_planar_u8(p, met9, "linear",
+                                          1.0))(pfin))
+    bl = np.asarray(lg._banded_scan_finish_chunk(
+        pfin, met9, mxf, "linear", 1.0, "rgb", True, 0, hhf))
+    eql = np.array_equal(al, bl)
+    details.append(f"linear: bitwise={eql}")
+    record("finish_kernel_vs_chunks_onchip", ok_fin and eql,
+           "; ".join(details))
+  except Exception as e:
+    record("finish_kernel_vs_chunks_onchip", False,
+           f"{type(e).__name__}: {str(e)[:120]}")
+
   # 8f. Camera16 q16 fast path (round 4): the reference-default f16
   #     pipeline rides 16-bit fixed-point containers packed 2-per-i32
   #     (ops/pallas/q16). Kernel-level: q12 decode BIT-EXACT vs the
