@@ -192,5 +192,5 @@ def race(tag, H, W, tiles=(None,)):
 
 
 if __name__ == "__main__":
-  race("6x4K", 2160, 3840, tiles=(None, 48, 192))
+  race("6x4K", 2160, 3840, tiles=(None, 48, 240))
   race("6x8K", 4320, 7680, tiles=(None,))
